@@ -1,0 +1,135 @@
+"""Static simulation parameters.
+
+Everything in :class:`SimParams` is a compile-time constant: it is hashable and
+closed over by the jitted step function, so XLA sees static shapes and scalars.
+
+The fields mirror the scene ``Configuration`` schema of the reference
+(``SPH/containers/base_container.py:10-66`` and
+``SPH/fluid_solvers/base_solver.py:9-54`` in jason-huang03/SPH_Project), but are
+resolved once on the host instead of being scattered over runtime objects.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+MATERIAL_NONE = 0  # slot is inactive (padding or not-yet-entered object)
+MATERIAL_FLUID = 1
+MATERIAL_RIGID = 2
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Compile-time simulation constants (hashable, closed over by jit)."""
+
+    dim: int = 3
+    # geometry
+    particle_radius: float = 0.01          # dx in the reference
+    support_radius: float = 0.04           # dh = 4*dx (3D) / 3*dx (2D)
+    particle_spacing: float = 0.02         # lattice pitch = 2*dx by default
+    v0: float = 0.8 * 0.02 ** 3            # rest volume 0.8*(2 dx)^dim
+    domain_start: Tuple[float, ...] = (0.0, 0.0, 0.0)
+    domain_end: Tuple[float, ...] = (1.0, 1.0, 1.0)
+    grid_num: Tuple[int, ...] = (25, 25, 25)   # ceil(domain_size / dh)
+    padding: float = 0.04                  # = dh, boundary clamp inset
+
+    # physics
+    density0: float = 1000.0
+    gravity: Tuple[float, ...] = (0.0, -9.81, 0.0)
+    dt: float = 1e-3
+    viscosity: float = 0.01
+    viscosity_b: float = 0.01
+    surface_tension: float = 0.01
+    g_upper: float = 10000.0               # emitter threshold height
+
+    # solver selection / tolerances (reference defaults)
+    simulation_method: str = "dfsph"
+    viscosity_method: str = "standard"
+    wcsph_gamma: float = 7.0
+    wcsph_stiffness: float = 50000.0
+    dfsph_max_iter: int = 1000
+    dfsph_max_iter_v: int = 1000
+    dfsph_max_error: float = 1e-4
+    dfsph_max_error_v: float = 1e-3
+    dfsph_eps: float = 1e-5
+    pcisph_max_iter: int = 1000
+    pcisph_eta: float = 1e-3
+    iisph_max_iter: int = 20
+    iisph_eta: float = 1e-3
+    iisph_omega: float = 0.2
+    pbf_iters: int = 5
+    cg_tol: float = 1e-6
+    cg_max_iter: int = 1000
+
+    # capacities (static shapes)
+    n_particles: int = 0                   # active slots (<= n_pad)
+    n_pad: int = 0                         # padded particle capacity
+    max_objects: int = 32                  # reference: max_num_object=20
+    neighbor_cap: int = 64                 # K: neighbors kept per particle
+    cell_cap: int = 24                     # C: candidates read per grid cell
+    build_chunk: int = 16384               # particles per neighbor-build chunk
+
+    # rigid contact model (replaces Bullet; see rigid/integrator.py)
+    contact_stiffness: float = 1e5
+    contact_damping: float = 0.1
+    wall_friction: float = 0.1
+    wall_eps: float = 0.0                  # inset of rigid walls (bullet create_boundary)
+
+    @property
+    def num_cells(self) -> int:
+        n = 1
+        for g in self.grid_num:
+            n *= g
+        return n
+
+    @property
+    def cubic_k(self) -> float:
+        """Cubic-spline normalization constant (reference base_solver.py:56-78)."""
+        if self.dim == 1:
+            k = 4.0 / 3.0
+        elif self.dim == 2:
+            k = 40.0 / 7.0 / math.pi
+        else:
+            k = 8.0 / math.pi
+        return k / self.support_radius ** self.dim
+
+    @property
+    def particle_diameter(self) -> float:
+        return 2.0 * self.particle_radius
+
+
+def make_params(n_particles: int, **kw) -> SimParams:
+    """Build SimParams, deriving dependent quantities the way the reference does."""
+    dim = kw.pop("dim", 3)
+    dx = kw.pop("particle_radius", 0.01)
+    dh = kw.pop("support_radius", None)
+    if dh is None:
+        dh = dx * (4.0 if dim == 3 else 3.0)
+    spacing = kw.pop("particle_spacing", None)
+    if spacing is None:
+        spacing = 2.0 * dx
+    domain_start = tuple(kw.pop("domain_start", (0.0,) * dim))
+    domain_end = tuple(kw.pop("domain_end", (1.0,) * dim))
+    grid_num = tuple(
+        int(math.ceil((e - s) / dh)) for s, e in zip(domain_start, domain_end)
+    )
+    n_pad = _round_up(max(n_particles, 1), 1024)
+    return SimParams(
+        dim=dim,
+        particle_radius=dx,
+        support_radius=dh,
+        particle_spacing=spacing,
+        v0=0.8 * (2.0 * dx) ** dim,
+        domain_start=domain_start,
+        domain_end=domain_end,
+        grid_num=grid_num,
+        padding=dh,
+        n_particles=n_particles,
+        n_pad=n_pad,
+        **kw,
+    )

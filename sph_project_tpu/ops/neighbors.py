@@ -1,0 +1,213 @@
+"""TPU-native neighbor search: sort-by-cell + fixed-capacity neighbor lists.
+
+The reference uses a Taichi uniform grid with an atomic histogram + prefix-sum
+counting sort and a dynamic 27-cell iteration per particle
+(``base_container.py:495-560``). That design relies on per-thread dynamic
+loops and atomics, which do not map to the TPU. Here instead:
+
+1.  Particles get a flat cell id (same x-major/z-fastest layout as
+    ``flatten_grid_index``, base_container.py:472-481) and are reordered by a
+    stable XLA sort once per step — the analogue of the counting sort, and it
+    gives the same cell-major memory locality.
+2.  Because the z axis is fastest in the flat id, the 3x3x3 stencil collapses
+    to **9 contiguous segments** of sorted particles (3 z-cells each). Segment
+    bounds come from vectorized ``searchsorted`` — no per-cell histogram table
+    is materialized, so giant mostly-empty grids cost nothing.
+3.  Candidates are compacted into a fixed-K neighbor list (built once per
+    step, reused by every pair pass of every solver iteration — 10-30x reuse).
+    Overflow of the per-segment cap or of K is counted and reported in
+    diagnostics instead of silently dropping physics.
+
+All shapes are static; the build is chunked over particles to bound the
+(S, 9, 3C) candidate intermediates.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.params import SimParams
+from . import kernels
+
+
+class Neighbors(struct.PyTreeNode):
+    """Fixed-capacity neighbor lists over the *sorted* particle order."""
+
+    idx: jnp.ndarray            # (N, K) i32 — neighbor index; == self when invalid
+    count: jnp.ndarray          # (N,) i32 — valid neighbors per particle
+    cell_overflow: jnp.ndarray  # () i32 — candidates lost to the segment cap
+    k_overflow: jnp.ndarray     # () i32 — true neighbors lost to K
+
+    @property
+    def mask(self) -> jnp.ndarray:
+        """(N, K) bool validity mask (recomputed on the fly; fuses for free)."""
+        k = self.idx.shape[1]
+        return jax.lax.broadcasted_iota(jnp.int32, self.idx.shape, 1) < self.count[:, None]
+
+
+class PairGeometry(struct.PyTreeNode):
+    """Per-pair geometry cached once per step (positions are frozen during
+    the solver iterations of every method, so this is safe to reuse)."""
+
+    R: jnp.ndarray        # (N, K, dim) — pos_i - pos_j
+    dist: jnp.ndarray     # (N, K)
+    W: jnp.ndarray        # (N, K) — cubic W(|R|), zeroed where invalid
+    gradW: jnp.ndarray    # (N, K, dim) — ∇W, zeroed where invalid
+
+
+def cell_coords(pos: jnp.ndarray, params: SimParams) -> jnp.ndarray:
+    """Integer cell coordinates, clamped into the grid."""
+    start = jnp.asarray(params.domain_start, jnp.float32)
+    coords = jnp.floor((pos - start) / params.support_radius).astype(jnp.int32)
+    hi = jnp.asarray(params.grid_num, jnp.int32) - 1
+    return jnp.clip(coords, 0, hi)
+
+
+def flat_cell_ids(pos: jnp.ndarray, active: jnp.ndarray, params: SimParams) -> jnp.ndarray:
+    """Flat cell id per particle; inactive particles get the sentinel id
+    ``num_cells`` so the sort moves them to the tail and no cell range ever
+    includes them."""
+    c = cell_coords(pos, params)
+    g = params.grid_num
+    if params.dim == 3:
+        flat = (c[:, 0] * g[1] + c[:, 1]) * g[2] + c[:, 2]
+    else:
+        flat = c[:, 0] * g[1] + c[:, 1]
+    return jnp.where(active, flat, params.num_cells)
+
+
+def sort_permutation(cells: jnp.ndarray) -> jnp.ndarray:
+    """Stable permutation ordering particles by cell id (the counting-sort
+    analogue; reference reorder_particles is also stable)."""
+    return jnp.argsort(cells, stable=True)
+
+
+def build_neighbors(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
+                    params: SimParams) -> Neighbors:
+    """Build the (N, K) neighbor list from cell-sorted positions.
+
+    ``cells_sorted`` must be ascending (output of the sort step). Candidates
+    for particle i are the 9 (3D) / 3 (2D) contiguous sorted segments covering
+    the 3^dim stencil; they are distance-filtered (strict ``< dh``, matching
+    for_all_neighbors, base_container.py:559) and compacted to K.
+    """
+    n, dim = pos.shape
+    K = params.neighbor_cap
+    seg_len = 3 * params.cell_cap  # candidates kept per contiguous segment
+    g = params.grid_num
+    dh2 = params.support_radius * params.support_radius
+
+    if dim == 3:
+        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    else:
+        offsets = [(dx,) for dx in (-1, 0, 1)]
+    n_seg = len(offsets)
+    offsets = jnp.asarray(offsets, jnp.int32)  # (n_seg, dim-1)
+
+    S = min(params.build_chunk, n)
+    while n % S != 0:  # n is padded to 1024 so small S divides it
+        S //= 2
+    n_chunks = n // S
+
+    coords_all = cell_coords(pos, params)
+    active_all = cells_sorted < params.num_cells
+
+    def chunk_body(carry, chunk):
+        base, coords, active = chunk
+        # --- segment bounds -------------------------------------------------
+        cxy = coords[:, :-1]                       # (S, dim-1)
+        cz = coords[:, -1]                         # (S,)
+        ncxy = cxy[:, None, :] + offsets[None]     # (S, n_seg, dim-1)
+        lims = jnp.asarray(g[:-1], jnp.int32)
+        seg_ok = jnp.all((ncxy >= 0) & (ncxy < lims), axis=-1)  # (S, n_seg)
+        zlo = jnp.maximum(cz - 1, 0)
+        zhi = jnp.minimum(cz + 1, g[-1] - 1)
+        if dim == 3:
+            row = ncxy[..., 0] * g[1] + ncxy[..., 1]
+        else:
+            row = ncxy[..., 0]
+        flat_lo = row * g[-1] + zlo[:, None]
+        flat_hi = row * g[-1] + zhi[:, None] + 1
+        start = jnp.searchsorted(cells_sorted, flat_lo.reshape(-1)).reshape(flat_lo.shape)
+        end = jnp.searchsorted(cells_sorted, flat_hi.reshape(-1)).reshape(flat_hi.shape)
+        raw_cnt = jnp.where(seg_ok, end - start, 0)
+        cnt = jnp.minimum(raw_cnt, seg_len)
+        cell_of = jnp.sum(raw_cnt - cnt)
+
+        # --- candidate enumeration -----------------------------------------
+        slot = jnp.arange(seg_len, dtype=jnp.int32)
+        cand = start[:, :, None] + slot[None, None, :]          # (S, n_seg, L)
+        cvalid = slot[None, None, :] < cnt[:, :, None]
+        cand = cand.reshape(S, -1)
+        cvalid = cvalid.reshape(S, -1)
+        self_idx = base + jnp.arange(S, dtype=jnp.int32)
+        safe = jnp.where(cvalid, cand, 0)
+        cpos = pos[safe]                                        # (S, M, dim)
+        d2 = jnp.sum((pos[self_idx][:, None, :] - cpos) ** 2, axis=-1)
+        cvalid &= (d2 < dh2) & (cand != self_idx[:, None]) & active[:, None]
+
+        # --- compaction to K -------------------------------------------------
+        kpos = jnp.cumsum(cvalid, axis=1) - 1
+        keep = cvalid & (kpos < K)
+        k_of = jnp.sum(cvalid) - jnp.sum(keep)
+        rows = jnp.broadcast_to(jnp.arange(S)[:, None], cand.shape)
+        cols = jnp.where(keep, kpos, K)
+        out = jnp.broadcast_to(self_idx[:, None], (S, K + 1))
+        out = out.at[rows, cols].set(jnp.where(keep, cand, self_idx[:, None]))
+        count = jnp.sum(keep, axis=1).astype(jnp.int32)
+        return (carry[0] + cell_of, carry[1] + k_of), (out[:, :K], count)
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * S
+    coords_c = coords_all.reshape(n_chunks, S, dim)
+    active_c = active_all.reshape(n_chunks, S)
+    (cell_of, k_of), (idx, count) = jax.lax.scan(
+        chunk_body, (jnp.int32(0), jnp.int32(0)), (bases, coords_c, active_c))
+    return Neighbors(
+        idx=idx.reshape(n, K),
+        count=count.reshape(n),
+        cell_overflow=cell_of,
+        k_overflow=k_of,
+    )
+
+
+def build_neighbors_bruteforce(pos: jnp.ndarray, active: jnp.ndarray,
+                               params: SimParams) -> Neighbors:
+    """O(N^2) reference implementation for tests."""
+    n = pos.shape[0]
+    K = params.neighbor_cap
+    dh2 = params.support_radius ** 2
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    eye = jnp.eye(n, dtype=bool)
+    valid = (d2 < dh2) & ~eye & active[None, :] & active[:, None]
+    kpos = jnp.cumsum(valid, axis=1) - 1
+    keep = valid & (kpos < K)
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    rows = jnp.broadcast_to(self_idx[:, None], (n, n))
+    cols = jnp.where(keep, kpos, K)
+    cand = jnp.broadcast_to(self_idx[None, :], (n, n))
+    out = jnp.broadcast_to(self_idx[:, None], (n, K + 1))
+    out = out.at[rows, cols].set(jnp.where(keep, cand, self_idx[:, None]))
+    return Neighbors(
+        idx=out[:, :K],
+        count=jnp.sum(keep, axis=1).astype(jnp.int32),
+        cell_overflow=jnp.int32(0),
+        k_overflow=jnp.int32(jnp.sum(valid) - jnp.sum(keep)),
+    )
+
+
+def pair_geometry(pos: jnp.ndarray, nbrs: Neighbors, params: SimParams) -> PairGeometry:
+    """Cache R, |R|, W, ∇W for every neighbor pair (invalid slots zeroed)."""
+    R = pos[:, None, :] - pos[nbrs.idx]
+    dist = jnp.linalg.norm(R, axis=-1)
+    m = nbrs.mask
+    W = jnp.where(m, kernels.cubic_W(dist, params.support_radius, params.dim), 0.0)
+    gradW = jnp.where(m[..., None],
+                      kernels.cubic_grad_W(R, params.support_radius, params.dim, dist),
+                      0.0)
+    return PairGeometry(R=R, dist=dist, W=W, gradW=gradW)
+
+
+def gather(nbrs: Neighbors, field: jnp.ndarray) -> jnp.ndarray:
+    """Gather a per-particle field to (N, K[, ...]) neighbor layout."""
+    return field[nbrs.idx]
