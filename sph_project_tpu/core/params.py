@@ -50,6 +50,7 @@ class SimParams:
     # solver selection / tolerances (reference defaults)
     simulation_method: str = "dfsph"
     viscosity_method: str = "standard"
+    kernel_type: str = "cubic"             # "poly6" for PBF (PBF.py:21-47)
     wcsph_gamma: float = 7.0
     wcsph_stiffness: float = 50000.0
     dfsph_max_iter: int = 1000
@@ -78,7 +79,7 @@ class SimParams:
     contact_stiffness: float = 1e5
     contact_damping: float = 0.1
     wall_friction: float = 0.1
-    wall_eps: float = 0.0                  # inset of rigid walls (bullet create_boundary)
+    wall_thickness: float = 0.0            # domain_box_thickness (0.03 w/ addDomainBox)
 
     @property
     def num_cells(self) -> int:

@@ -8,6 +8,8 @@ the slot is empty), matching the reference's preallocate-to-max design.
 """
 from __future__ import annotations
 
+import typing as tp
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -67,7 +69,7 @@ class RigidState(struct.PyTreeNode):
     force: jnp.ndarray          # (O, dim) f32 - accumulated SPH force
     torque: jnp.ndarray         # (O, dim) or (O, 1) f32
     is_dynamic: jnp.ndarray     # (O,) i32
-    is_rigid: jnp.ndarray       # (O,) i32 - object material is rigid
+    obj_material: jnp.ndarray   # (O,) i32 - object material (fluid/rigid/none)
     entry_time: jnp.ndarray     # (O,) f32
     present: jnp.ndarray        # (O,) i32 - object has entered the scene
 
@@ -80,6 +82,14 @@ class SimState(struct.PyTreeNode):
     # Warm-start velocity guess carried across steps by the implicit viscosity
     # CG solver (reference base_solver.py:290-293,439-443).
     visc_x: jnp.ndarray         # (N, dim) f32
+    # DFSPH carries density/alpha/neighbors across the step boundary: the
+    # reference computes them at the *end* of _step for use at the start of
+    # the next (DFSPH.py:316-319).
+    dfsph_alpha: jnp.ndarray    # (N,) f32
+    # IISPH's d_ii reads the previous step's advected density for rigid
+    # neighbors (IISPH.py:39-44 runs before :212's recompute) — carried here.
+    iisph_density_star: jnp.ndarray  # (N,) f32
+    cached_neighbors: tp.Any = None  # ops.neighbors.Neighbors or None
 
 
 def zeros_state(params: SimParams) -> SimState:
@@ -112,7 +122,7 @@ def zeros_state(params: SimParams) -> SimState:
         force=jnp.zeros((o, d), f),
         torque=jnp.zeros((o, ang), f),
         is_dynamic=jnp.zeros((o,), i),
-        is_rigid=jnp.zeros((o,), i),
+        obj_material=jnp.zeros((o,), i),
         entry_time=jnp.full((o,), -1.0, f),
         present=jnp.zeros((o,), i),
     )
@@ -122,4 +132,7 @@ def zeros_state(params: SimParams) -> SimState:
         t=jnp.zeros((), f),
         step_count=jnp.zeros((), i),
         visc_x=jnp.zeros((n, d), f),
+        dfsph_alpha=jnp.zeros((n,), f),
+        iisph_density_star=jnp.zeros((n,), f),
+        cached_neighbors=None,
     )

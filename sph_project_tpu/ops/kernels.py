@@ -66,6 +66,28 @@ def cubic_grad_W(R: jnp.ndarray, h: float, dim: int,
     return (c / (safe * h))[..., None] * R
 
 
+def W(r: jnp.ndarray, h: float, dim: int, kind: str = "cubic") -> jnp.ndarray:
+    """Kernel dispatch: PBF overrides the cubic spline with poly6
+    (reference PBF.py:21-32)."""
+    if kind == "cubic":
+        return cubic_W(r, h, dim)
+    return poly6_W(r, h)
+
+
+def W0(h: float, dim: int, kind: str = "cubic") -> float:
+    if kind == "cubic":
+        return cubic_W0(h, dim)
+    return 0.0  # poly6 is defined 0 at r == 0 in the reference (PBF.py:27)
+
+
+def grad_W(R: jnp.ndarray, h: float, dim: int,
+           dist: jnp.ndarray | None = None, kind: str = "cubic") -> jnp.ndarray:
+    """Gradient dispatch: PBF uses the spiky gradient (PBF.py:34-47)."""
+    if kind == "cubic":
+        return cubic_grad_W(R, h, dim, dist)
+    return spiky_grad_W(R, h, dist)
+
+
 def poly6_W(r: jnp.ndarray, h: float) -> jnp.ndarray:
     """PBF poly6 kernel (PBF.py:21-32). Note: zero at r == 0, like the reference."""
     fac = 315.0 / 64.0 / math.pi

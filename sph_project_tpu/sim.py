@@ -1,0 +1,210 @@
+"""Simulation orchestration: one jitted step per solver method.
+
+This is the analogue of the reference's ``BaseSolver.step`` + driver loop
+(base_solver.py:683-696, run_simulation.py:116-155), restructured so a full
+step — neighbor sort/build, physics, pressure solve, rigid dynamics, boundary,
+deferred-entry activation — is a single XLA program with no host round trips.
+Host code only touches the state at export boundaries.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .core.params import MATERIAL_FLUID, MATERIAL_NONE, MATERIAL_RIGID, SimParams
+from .core.state import ParticleState, RigidState, SimState
+from .ops import neighbors as nblib
+from .rigid import integrator as rigidlib
+from .solvers import common
+
+
+# ---------------------------------------------------------------------------
+# Plumbing shared by every solver method
+# ---------------------------------------------------------------------------
+
+class Plumbing:
+    """Shared step stages. Solver modules receive this to avoid import cycles
+    and so alternative implementations (e.g. Pallas-fused) can be swapped in."""
+
+    @staticmethod
+    def neighbor_prep(state: SimState, params: SimParams) -> Tuple[SimState, nblib.Neighbors]:
+        """Sort every per-particle array by grid cell and build neighbor lists
+        (the reference's prepare_neighborhood_search, base_container.py:544-547)."""
+        p = state.particles
+        active = p.material != MATERIAL_NONE
+        cells = nblib.flat_cell_ids(p.pos, active, params)
+        perm = nblib.sort_permutation(cells)
+        p = jax.tree.map(lambda a: a[perm], p)
+        visc_x = state.visc_x[perm]
+        alpha = state.dfsph_alpha[perm]
+        istar = state.iisph_density_star[perm]
+        nbrs = nblib.build_neighbors(p.pos, cells[perm], params)
+        return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
+                             iisph_density_star=istar), nbrs
+
+    @staticmethod
+    def non_pressure_acceleration(
+        p: ParticleState, rigid: RigidState, nbrs: nblib.Neighbors,
+        state: SimState, params: SimParams,
+    ) -> Tuple[ParticleState, RigidState]:
+        """gravity (assign) + surface tension + viscosity
+        (base_solver.py:190-200). The implicit-viscosity variant is selected
+        at trace time from params.viscosity_method."""
+        acc = common.gravity_acceleration(p, params)
+        acc = acc + common.surface_tension_acceleration(p, nbrs, params)
+        if params.viscosity_method == "standard":
+            a_v, rf, rt = common.viscosity_acceleration_standard(
+                p, p.vel, rigid, nbrs, params)
+            acc = acc + a_v
+            rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
+            p = p.replace(acc=acc)
+        elif params.viscosity_method == "implicit":
+            from .solvers import viscosity_cg
+            p = p.replace(acc=acc)
+            p, rigid, state = viscosity_cg.implicit_viscosity_solve(
+                p, rigid, state, nbrs, params)
+        else:
+            raise NotImplementedError(params.viscosity_method)
+        return p, rigid
+
+    @staticmethod
+    def activate_entries(state: SimState, params: SimParams) -> SimState:
+        """entryTime-gated object insertion as mask flips (the reference's
+        insert_object / init_rigid_body run per step; base_container.py:212-341,
+        bullet_solver.py:77-128)."""
+        p, rigid = state.particles, state.rigid
+        t = state.t
+        enter = (p.material == MATERIAL_NONE) & (p.entry_material != MATERIAL_NONE) \
+            & (p.entry_time <= t)
+        p = p.replace(material=jnp.where(enter, p.entry_material, p.material))
+        r_enter = (rigid.present == 0) & (rigid.entry_time <= t) & \
+            (rigid.obj_material != MATERIAL_NONE)
+        rigid = rigid.replace(present=jnp.where(r_enter, 1, rigid.present))
+        return state.replace(particles=p, rigid=rigid)
+
+    @staticmethod
+    def rigid_mid(state: SimState, nbrs: nblib.Neighbors,
+                  params: SimParams) -> SimState:
+        """Rigid dynamics + entry activation + rigid particle renewal — the
+        ``rigid_solver.step(); insert_object(); renew_rigid_particle_state()``
+        block every method runs mid-step (e.g. WCSPH.py:39-43)."""
+        p, rigid = state.particles, state.rigid
+
+        cf, ct = rigidlib.rigid_contact_wrench(p, rigid, nbrs.idx, nbrs.mask, params)
+        rigid = rigid.replace(force=rigid.force + cf, torque=rigid.torque + ct)
+        rigid = rigidlib.rigid_body_step(p, rigid, params)
+
+        state = state.replace(particles=p, rigid=rigid)
+        state = Plumbing.activate_entries(state, params)
+        p, rigid = state.particles, state.rigid
+        p = common.renew_rigid_particle_state(p, rigid, params)
+        return state.replace(particles=p, rigid=rigid)
+
+    @staticmethod
+    def rigid_and_tail(state: SimState, nbrs: nblib.Neighbors,
+                       params: SimParams) -> SimState:
+        """rigid_mid + boundary clamp + time/volume tail (the feed-forward
+        methods' step ending; base_solver.py:692-696)."""
+        state = Plumbing.rigid_mid(state, nbrs, params)
+        p = state.particles
+        p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
+        # base_solver.py:692-696: advance time, recompute Akinci volumes
+        p = common.compute_rigid_particle_volume(p, nbrs, params)
+        return state.replace(
+            particles=p,
+            t=state.t + params.dt,
+            step_count=state.step_count + 1,
+        )
+
+    @staticmethod
+    def diagnostics(state: SimState, nbrs: nblib.Neighbors,
+                    params: SimParams, extra: dict | None = None) -> dict:
+        p = state.particles
+        fluid = p.material == MATERIAL_FLUID
+        nf = jnp.maximum(jnp.sum(fluid), 1)
+        d = dict(
+            fluid_num=jnp.sum(fluid),
+            density_avg=jnp.sum(jnp.where(fluid, p.density, 0.0)) / nf,
+            density_max=jnp.max(jnp.where(fluid, p.density, 0.0)),
+            vel_max=jnp.max(jnp.where(fluid[:, None], jnp.abs(p.vel), 0.0)),
+            neighbor_overflow=nbrs.k_overflow + nbrs.cell_overflow,
+        )
+        if extra:
+            d.update(extra)
+        return d
+
+
+def get_step_fn(params: SimParams) -> Callable[[SimState], Tuple[SimState, dict]]:
+    """Resolve the solver method to a step function (the reference's driver
+    dispatch, run_simulation.py:46-63)."""
+    method = params.simulation_method
+    if method == "wcsph":
+        from .solvers import wcsph
+        fn = functools.partial(wcsph.step, params=params, plumbing=Plumbing)
+    elif method == "dfsph":
+        from .solvers import dfsph
+        fn = functools.partial(dfsph.step, params=params, plumbing=Plumbing)
+    elif method == "pcisph":
+        from .solvers import pcisph
+        fn = functools.partial(pcisph.step, params=params, plumbing=Plumbing)
+    elif method == "iisph":
+        from .solvers import iisph
+        fn = functools.partial(iisph.step, params=params, plumbing=Plumbing)
+    elif method == "pbf":
+        from .solvers import pbf
+        fn = functools.partial(pbf.step, params=params, plumbing=Plumbing)
+    else:
+        raise NotImplementedError(f"simulation method {method}")
+    return fn
+
+
+def prepare(state: SimState, params: SimParams) -> SimState:
+    """Initial setup matching BaseSolver.prepare (base_solver.py:683-690):
+    activate t=0 objects, emitter flip, place rigid particles, compute Akinci
+    volumes; DFSPH additionally seeds density/alpha (DFSPH.py:321-324) inside
+    its first step."""
+    state = Plumbing.activate_entries(state, params)
+    p, rigid = state.particles, state.rigid
+    p = common.prepare_emitter(p, params)
+    p = common.renew_rigid_particle_state(p, rigid, params)
+    state = state.replace(particles=p)
+    state, nbrs = Plumbing.neighbor_prep(state, params)
+    p = common.compute_rigid_particle_volume(state.particles, nbrs, params)
+    state = state.replace(particles=p, cached_neighbors=nbrs)
+    if params.simulation_method == "dfsph":
+        # DFSPH.prepare additionally seeds density + alpha (DFSPH.py:321-324)
+        from .solvers import dfsph
+        p = p.replace(density=common.compute_density(p, nbrs, params))
+        alpha = dfsph.compute_alpha(p, nbrs, params)
+        state = state.replace(particles=p, dfsph_alpha=alpha)
+    return state
+
+
+class Simulation:
+    """User-facing driver: holds the jitted step and the scene metadata."""
+
+    def __init__(self, scene, state: SimState):
+        self.scene = scene
+        self.params = scene.params
+        self._prepare = jax.jit(functools.partial(prepare, params=self.params))
+        self._step = jax.jit(get_step_fn(self.params))
+        self.state = self._prepare(state)
+
+    def step(self) -> dict:
+        self.state, diag = self._step(self.state)
+        return diag
+
+    def run(self, n_steps: int) -> dict:
+        """Run n_steps fully on device via lax.scan; returns stacked diags."""
+        @functools.partial(jax.jit, static_argnums=1)
+        def scan_steps(state, n):
+            step_fn = get_step_fn(self.params)
+            def body(s, _):
+                s, d = step_fn(s)
+                return s, d
+            return jax.lax.scan(body, state, None, length=n)
+        self.state, diags = scan_steps(self.state, n_steps)
+        return diags

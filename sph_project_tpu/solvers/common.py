@@ -1,0 +1,313 @@
+"""Shared SPH operators over fixed-K neighbor lists.
+
+Physics matches the reference's BaseSolver (SPH/fluid_solvers/base_solver.py in
+jason-huang03/SPH_Project):
+
+- density summation           base_solver.py:521-541
+- gravity / surface tension   base_solver.py:202-229
+- standard viscosity          base_solver.py:231-278
+- pressure acceleration +
+  Akinci rigid force/torque   base_solver.py:135-187
+- rigid particle pseudo-volume base_solver.py:105-123
+- domain boundary clamp       base_solver.py:543-611
+- semi-implicit Euler + emitter base_solver.py:642-677
+
+The *implementation* is TPU-native: every "for_all_neighbors + atomics" kernel
+becomes a masked (N, K) gather + reduction (XLA fuses the elementwise chains
+onto the VPU), and rigid force/torque atomics become `segment_sum` by object
+id. All functions are pure and shape-static, so the whole step jits into one
+program with zero host round-trips.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
+from ..core.state import ParticleState, RigidState
+from ..ops import kernels
+from ..ops.neighbors import Neighbors
+
+
+# ---------------------------------------------------------------------------
+# Pair-layout helpers
+# ---------------------------------------------------------------------------
+
+def pair_disp(pos: jnp.ndarray, nbrs: Neighbors) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """R_ij = x_i - x_j and |R| in (N, K) layout. Invalid slots point at self,
+    so R there is 0 (and every operator masks anyway)."""
+    R = pos[:, None, :] - pos[nbrs.idx]
+    dist = jnp.linalg.norm(R, axis=-1)
+    return R, dist
+
+
+def accumulate_rigid_wrench(
+    contrib: jnp.ndarray,          # (N, K, dim) per-pair force on the rigid body
+    arm: jnp.ndarray,              # (N, K, dim) lever arm (point - com_j)
+    valid: jnp.ndarray,            # (N, K) bool — pair contributes
+    obj_j: jnp.ndarray,            # (N, K) i32 object id of particle j
+    params: SimParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sum per-pair forces/torques into per-object wrenches.
+
+    Replaces the reference's `rigid_body_forces[obj] += ...` atomics
+    (base_solver.py:174-187,272-278) with a segment reduction.
+    """
+    O = params.max_objects
+    seg = jnp.where(valid, obj_j, O).reshape(-1)
+    f = jnp.where(valid[..., None], contrib, 0.0).reshape(-1, params.dim)
+    if params.dim == 3:
+        tq = jnp.cross(arm, contrib)
+    else:
+        tq = (arm[..., 0] * contrib[..., 1] - arm[..., 1] * contrib[..., 0])[..., None]
+    tq = jnp.where(valid[..., None], tq, 0.0).reshape(-1, tq.shape[-1])
+    force = jax.ops.segment_sum(f, seg, num_segments=O + 1)[:O]
+    torque = jax.ops.segment_sum(tq, seg, num_segments=O + 1)[:O]
+    return force, torque
+
+
+# ---------------------------------------------------------------------------
+# Rigid particle pseudo-volume (Akinci boundary sampling)
+# ---------------------------------------------------------------------------
+
+def compute_rigid_particle_volume(p: ParticleState, nbrs: Neighbors,
+                                  params: SimParams) -> ParticleState:
+    """V_b = 1 / sum_k W_bk over *same-object* neighbors (plus self W(0));
+    mass = rho0 * V_b. Only rigid particles at or below the emitter height
+    g_upper are updated (base_solver.py:105-123)."""
+    R, dist = pair_disp(p.pos, nbrs)
+    same_obj = p.object_id[nbrs.idx] == p.object_id[:, None]
+    W = jnp.where(nbrs.mask & same_obj,
+                  kernels.W(dist, params.support_radius, params.dim, params.kernel_type), 0.0)
+    denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + jnp.sum(W, axis=1)
+    vol = 1.0 / denom
+    sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper)
+    rest_volume = jnp.where(sel, vol, p.rest_volume)
+    mass = jnp.where(sel, params.density0 * vol, p.mass)
+    return p.replace(rest_volume=rest_volume, mass=mass)
+
+
+# ---------------------------------------------------------------------------
+# Density
+# ---------------------------------------------------------------------------
+
+def compute_density(p: ParticleState, nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+    """rho_i = rho0 * (V_i W(0) + sum_j V_j W_ij) for fluid particles; other
+    particles keep their stored density (base_solver.py:521-541)."""
+    _, dist = pair_disp(p.pos, nbrs)
+    W = jnp.where(nbrs.mask, kernels.W(dist, params.support_radius, params.dim, params.kernel_type), 0.0)
+    vj = p.rest_volume[nbrs.idx]
+    dens = p.rest_volume * kernels.W0(params.support_radius, params.dim, params.kernel_type)
+    dens = dens + jnp.sum(vj * W, axis=1)
+    dens = dens * params.density0
+    return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
+
+
+# ---------------------------------------------------------------------------
+# Non-pressure accelerations
+# ---------------------------------------------------------------------------
+
+def gravity_acceleration(p: ParticleState, params: SimParams) -> jnp.ndarray:
+    """Assign (not add) g to fluid particles (base_solver.py:202-207)."""
+    g = jnp.asarray(params.gravity, jnp.float32)
+    fluid = (p.material == MATERIAL_FLUID)[:, None]
+    return jnp.where(fluid, g[None, :], 0.0)
+
+
+def surface_tension_acceleration(p: ParticleState, nbrs: Neighbors,
+                                 params: SimParams) -> jnp.ndarray:
+    """Cohesion-style surface tension over fluid neighbors
+    (base_solver.py:209-229): a_i -= st/m_i * m_j * R * W(max(|R|, diameter))."""
+    R, dist = pair_disp(p.pos, nbrs)
+    diam = params.particle_diameter
+    w_r = kernels.W(dist, params.support_radius, params.dim, params.kernel_type)
+    w_d = kernels.W(jnp.asarray(diam, jnp.float32), params.support_radius, params.dim, params.kernel_type)
+    W = jnp.where(dist * dist > diam * diam, w_r, w_d)
+    fluid_j = p.material[nbrs.idx] == MATERIAL_FLUID
+    valid = nbrs.mask & fluid_j
+    mj = p.mass[nbrs.idx]
+    contrib = jnp.where(valid[..., None], (mj * W)[..., None] * R, 0.0)
+    a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * jnp.sum(contrib, axis=1)
+    fluid_i = (p.material == MATERIAL_FLUID)[:, None]
+    return jnp.where(fluid_i, a, 0.0)
+
+
+def _viscosity_pair_terms(p: ParticleState, vel: jnp.ndarray, nbrs: Neighbors,
+                          params: SimParams):
+    """Shared geometry for the standard-viscosity operator family."""
+    R, dist = pair_disp(p.pos, nbrs)
+    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
+    v_xy = jnp.sum((vel[:, None, :] - vel[nbrs.idx]) * R, axis=-1)     # (N, K)
+    denom = dist * dist + 0.01 * params.support_radius ** 2
+    mat_j = p.material[nbrs.idx]
+    return R, gradW, v_xy, denom, mat_j
+
+
+def viscosity_acceleration_standard(
+    p: ParticleState, vel: jnp.ndarray, rigid: RigidState,
+    nbrs: Neighbors, params: SimParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """XSPH-style viscosity (base_solver.py:231-278). Returns
+    (acceleration, rigid_force, rigid_torque). ``vel`` is passed separately so
+    the implicit solver can evaluate the same operator at the CG solution
+    (base_solver.py:515)."""
+    R, gradW, v_xy, denom, mat_j = _viscosity_pair_terms(p, vel, nbrs, params)
+    d2 = 2.0 * (params.dim + 2)
+    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
+
+    # exact-zero densities (isolated poly6 particles) would turn 0-viscosity
+    # terms into NaN inside the masked sum; guard the division only there
+    rho_j = p.density[nbrs.idx]
+    rho_j = jnp.where(rho_j > 0, rho_j, 1.0)
+    rho_i = jnp.where(p.density > 0, p.density, 1.0)[:, None]
+
+    m_ij = 0.5 * (p.mass[:, None] + p.mass[nbrs.idx])
+    coef_f = d2 * params.viscosity * m_ij / rho_j / denom * v_xy
+    acc_f = jnp.where(fluid_j[..., None], coef_f[..., None] * gradW, 0.0)
+
+    m_b = params.density0 * p.rest_volume[nbrs.idx]
+    coef_b = d2 * params.viscosity_b * m_b / rho_i / denom * v_xy
+    acc_b = jnp.where(rigid_j[..., None], coef_b[..., None] * gradW, 0.0)
+
+    fluid_i = p.material == MATERIAL_FLUID
+    a = jnp.where(fluid_i[:, None],
+                  (jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1)) / params.density0,
+                  0.0)
+
+    # force on dynamic rigid bodies: -pair_acc * m_i / rho0, arm = x_j - com_j
+    obj_j = p.object_id[nbrs.idx]
+    dyn_j = p.is_dynamic[nbrs.idx] > 0
+    valid = rigid_j & dyn_j & fluid_i[:, None]
+    fj = -acc_b * (p.mass / params.density0)[:, None, None]
+    pos_j = p.pos[nbrs.idx]
+    com_j = rigid.com[jnp.clip(obj_j, 0, params.max_objects - 1)]
+    force, torque = accumulate_rigid_wrench(fj, pos_j - com_j, valid, obj_j, params)
+    return a, force, torque
+
+
+# ---------------------------------------------------------------------------
+# Pressure acceleration (symmetric form) + Akinci coupling
+# ---------------------------------------------------------------------------
+
+def pressure_acceleration(
+    p: ParticleState, rigid: RigidState, nbrs: Neighbors, params: SimParams,
+    pressure: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """a_i = -sum_j m_j (p_i/rho_i^2 + p_j/rho_j^2) gradW for fluid neighbors,
+    mirrored rigid term with rho0, plus fluid->rigid wrench
+    (base_solver.py:135-187). Non-fluid particles get zero acceleration."""
+    if pressure is None:
+        pressure = p.pressure
+    R, dist = pair_disp(p.pos, nbrs)
+    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
+    mat_j = p.material[nbrs.idx]
+    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
+
+    den_i = p.density[:, None]
+    p_over_rho2_i = (pressure / (p.density * p.density))[:, None]
+
+    den_j = p.density[nbrs.idx]
+    term_f = p.mass[nbrs.idx] * (p_over_rho2_i + pressure[nbrs.idx] / (den_j * den_j))
+    acc_f = jnp.where(fluid_j[..., None], -term_f[..., None] * gradW, 0.0)
+
+    vj_rho0 = params.density0 * p.rest_volume[nbrs.idx]
+    term_b = vj_rho0 * p_over_rho2_i
+    acc_b = jnp.where(rigid_j[..., None], -term_b[..., None] * gradW, 0.0)
+
+    fluid_i = p.material == MATERIAL_FLUID
+    a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None],
+                  jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1), 0.0)
+
+    obj_j = p.object_id[nbrs.idx]
+    dyn_j = p.is_dynamic[nbrs.idx] > 0
+    valid = rigid_j & dyn_j & fluid_i[:, None]
+    # force = +rho0 V_j p_i/rho_i^2 gradW * m_i ; arm uses x_i (base_solver.py:178-185)
+    fj = (term_b * (params.density0 * p.rest_volume)[:, None])[..., None] * gradW
+    com_j = rigid.com[jnp.clip(obj_j, 0, params.max_objects - 1)]
+    arm = p.pos[:, None, :] - com_j
+    force, torque = accumulate_rigid_wrench(fj, arm, valid, obj_j, params)
+    return a, force, torque
+
+
+# ---------------------------------------------------------------------------
+# Integration, boundary, emitter
+# ---------------------------------------------------------------------------
+
+def update_fluid_velocity(p: ParticleState, params: SimParams) -> ParticleState:
+    fluid = (p.material == MATERIAL_FLUID)[:, None]
+    return p.replace(vel=jnp.where(fluid, p.vel + params.dt * p.acc, p.vel))
+
+
+def update_fluid_position(p: ParticleState, rigid: RigidState,
+                          params: SimParams) -> ParticleState:
+    """Advance fluid positions; emitter particles (non-fluid slots of a fluid
+    object above g_upper) advect at constant velocity and flip to fluid when
+    they sink below g_upper (base_solver.py:651-666)."""
+    fluid = p.material == MATERIAL_FLUID
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    obj_is_fluid = (rigid.obj_material[obj] == MATERIAL_FLUID) & (p.object_id >= 0)
+    emitter = (~fluid) & (p.pos[:, 1] > params.g_upper) & obj_is_fluid
+
+    move = (fluid | emitter)[:, None]
+    new_pos = jnp.where(move, p.pos + params.dt * p.vel, p.pos)
+    became_fluid = emitter & (new_pos[:, 1] <= params.g_upper)
+    new_mat = jnp.where(became_fluid, MATERIAL_FLUID, p.material)
+    return p.replace(pos=new_pos, material=new_mat)
+
+
+def prepare_emitter(p: ParticleState, params: SimParams) -> ParticleState:
+    """Fluid particles above g_upper become rigid placeholders
+    (base_solver.py:669-677)."""
+    flip = (p.material == MATERIAL_FLUID) & (p.pos[:, 1] > params.g_upper)
+    return p.replace(material=jnp.where(flip, MATERIAL_RIGID, p.material))
+
+
+def enforce_domain_boundary(p: ParticleState, params: SimParams,
+                            material: int = MATERIAL_FLUID) -> ParticleState:
+    """Clamp particles of `material` into the padded domain and reflect the
+    normal velocity with restitution loss c_f = 0.5 (base_solver.py:543-611)."""
+    lo = jnp.asarray(params.domain_start, jnp.float32) + params.padding
+    hi = jnp.asarray(params.domain_end, jnp.float32) - params.padding
+    sel = (p.material == material) & (p.is_dynamic > 0)
+
+    over = p.pos > hi
+    under = p.pos <= lo
+    normal = over.astype(jnp.float32) - under.astype(jnp.float32)   # (N, dim)
+    new_pos = jnp.clip(p.pos, lo, hi)
+
+    nlen = jnp.linalg.norm(normal, axis=-1)
+    hit = sel & (nlen > 1e-6)
+    n_unit = normal / jnp.maximum(nlen, 1e-12)[:, None]
+    c_f = 0.5
+    v_dot_n = jnp.sum(p.vel * n_unit, axis=-1)
+    new_vel = p.vel - (1.0 + c_f) * v_dot_n[:, None] * n_unit
+
+    pos = jnp.where(sel[:, None], new_pos, p.pos)
+    vel = jnp.where(hit[:, None], new_vel, p.vel)
+    return p.replace(pos=pos, vel=vel)
+
+
+def renew_rigid_particle_state(p: ParticleState, rigid: RigidState,
+                               params: SimParams) -> ParticleState:
+    """x = com + R q, v = v_body + omega x (R q) for dynamic rigid particles
+    (base_solver.py:615-629)."""
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    sel = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & \
+        (rigid.is_dynamic[obj] > 0) & (p.object_id >= 0)
+    q = p.rigid_rest_pos - rigid.com0[obj]
+    rotq = jnp.einsum("nij,nj->ni", rigid.rot[obj], q)
+    new_pos = rigid.com[obj] + rotq
+    if params.dim == 3:
+        spin = jnp.cross(rigid.omega[obj], rotq)
+    else:
+        w = rigid.omega[obj][:, 0]
+        spin = jnp.stack([-w * rotq[:, 1], w * rotq[:, 0]], axis=-1)
+    new_vel = rigid.vel[obj] + spin
+    return p.replace(
+        pos=jnp.where(sel[:, None], new_pos, p.pos),
+        vel=jnp.where(sel[:, None], new_vel, p.vel),
+    )
