@@ -1,0 +1,163 @@
+"""Generate the shipped scene library under data/scenes/.
+
+These are authored specs reproducing the *semantic content* of the
+reference's benchmark scenes (data/scenes/*.json in jason-huang03/SPH_Project
+— domain extents, particle radius, solver choice, block/body placement), so
+parity runs use identical physics inputs. Mesh paths resolve through
+``SPH_ASSET_ROOT`` (sph_project_tpu/scene.py) since the OBJ assets stay with
+the reference checkout.
+
+Run:  python data/make_scenes.py
+"""
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "scenes")
+
+
+def config(domain_end, method, dt, *, domain_start=(0, 0, 0), visc=0.05,
+           visc_b=None, visc_method="standard", fps=60.0, total=10.0,
+           g_upper=None, radius=0.01, extras=None):
+    c = {
+        "domainStart": list(domain_start),
+        "domainEnd": list(domain_end),
+        "addDomainBox": True,
+        "particleRadius": radius,
+        "density0": 1000,
+        "gravitation": [0.0, -9.81, 0.0],
+        "simulationMethod": method,
+        "viscosityMethod": visc_method,
+        "viscosity": visc,
+        "timeStepSize": dt,
+        "fps": fps,
+        "totalTime": total,
+        "exportFrame": True,
+        "exportPly": False,
+        "exportObj": False,
+    }
+    if visc_b is not None:
+        c["viscosity_b"] = visc_b
+    if g_upper is not None:
+        c["gravitationUpper"] = g_upper
+    if extras:
+        c.update(extras)
+    return c
+
+
+def fluid_block(oid, start, end, *, vel=(0, 0, 0), density=1000.0,
+                color=(50, 100, 200), entry=-1.0, translation=(0, 0, 0)):
+    return {"objectId": oid, "start": list(start), "end": list(end),
+            "translation": list(translation), "scale": [1, 1, 1],
+            "velocity": list(vel), "density": density, "color": list(color),
+            "entryTime": entry}
+
+
+def rigid_body(oid, geometry, translation, *, axis=(0, 1, 0), angle=0.0,
+               scale=(1, 1, 1), vel=(0, 0, 0), density=1000.0,
+               color=(255, 255, 255), dynamic=True, entry=-1.0):
+    return {"objectId": oid, "geometryFile": geometry,
+            "translation": list(translation), "rotationAxis": list(axis),
+            "rotationAngle": angle, "scale": list(scale),
+            "velocity": list(vel), "density": density, "color": list(color),
+            "isDynamic": dynamic, "entryTime": entry}
+
+
+SCENES = {
+    # dragon bath family: tall tank, falling fluid column, two dragons
+    "dragon_bath_wcsph": {
+        "Configuration": config((5.0, 3.0, 2.0), "wcsph", 4e-4, visc=10.0,
+                                visc_b=5.0, fps=30.0, total=8.0),
+        "RigidBodies": [
+            rigid_body(0, "./data/models/dragon.obj", (2.2, 0.35, 1.0),
+                       angle=90, density=2200.0),
+            rigid_body(1, "./data/models/dragon.obj", (2.8, 0.35, 1.0),
+                       angle=90, density=2500.0),
+        ],
+        "FluidBlocks": [fluid_block(2, (0.3, 0.2, 0.5), (1.2, 2.8, 1.6),
+                                    vel=(0, -1, 0), translation=(0.2, 0, 0.2))],
+    },
+    "dragon_bath_pcisph": None,   # derived below
+    "dragon_bath_dfsph": None,
+    "dragon_bath_iisph": None,
+    # large-scale dam break (the 1.23M-particle headline scene class)
+    "large_scale_dfsph": {
+        "Configuration": config((6.0, 4.0, 2.0), "dfsph", 6e-4, visc=0.05),
+        "FluidBlocks": [fluid_block(0, (0.2, 0.2, 0.2), (3.8, 3.8, 1.8))],
+    },
+    # high viscosity implicit solver scene class
+    "high_viscosity_implicit": {
+        "Configuration": config((2.5, 7.0, 2.5), "dfsph", 1e-3,
+                                visc=2000.0, visc_b=2000.0,
+                                visc_method="implicit"),
+        "FluidBlocks": [fluid_block(0, (0.9, 4.0, 0.9), (1.6, 6.5, 1.6))],
+    },
+    # emitter (buckling coil): tall thin stream gated by gravitationUpper
+    "buckling_emitter": {
+        "Configuration": config((4.0, 20.0, 8.0), "dfsph", 1e-3,
+                                visc=1800.0, visc_b=1800.0,
+                                visc_method="implicit", g_upper=2.5),
+        "RigidBodies": [
+            rigid_body(1, "./data/models/cookie_bar_small.obj",
+                       (1.5, 0.05, 3.0), scale=(1, 1, 1.5), dynamic=False),
+        ],
+        "FluidBlocks": [fluid_block(0, (1.12, 1.0, 1.0), (1.88, 12.2, 1.08),
+                                    vel=(0.0, -2.2, 0.75))],
+    },
+    # rigid-fluid coupling: duck + spheres dropped into a pool
+    "coupling_dfsph": {
+        "Configuration": config((2.5, 2.5, 2.5), "dfsph", 7e-4, visc=0.5,
+                                visc_b=0.3),
+        "RigidBodies": [
+            rigid_body(1, "./data/models/rubber_duck.obj", (1.25, 1.6, 1.25),
+                       scale=(0.8, 0.8, 0.8), density=500.0),
+            rigid_body(2, "./data/models/sphere.obj", (0.7, 1.9, 0.7),
+                       scale=(0.15, 0.15, 0.15), density=800.0),
+            rigid_body(3, "./data/models/sphere.obj", (1.8, 2.1, 1.6),
+                       scale=(0.15, 0.15, 0.15), density=1200.0),
+        ],
+        "FluidBlocks": [fluid_block(0, (0.15, 0.15, 0.15), (2.35, 0.9, 2.35))],
+    },
+    # 2D PBF splash tank
+    "pbf_2d": {
+        "Configuration": {
+            "domainStart": [0.0, 0.0], "domainEnd": [80.0, 80.0],
+            "addDomainBox": False, "particleRadius": 1.11,
+            "supportRadius": 1.12, "particleSpacing": 0.88,
+            "density0": 1000, "gravitation": [0.0, -9.81],
+            "simulationMethod": "pbf", "viscosityMethod": "standard",
+            "viscosity": 0.0, "timeStepSize": 0.05,
+            "fps": 20.0, "totalTime": 40.0, "exportFrame": True,
+        },
+        "FluidBlocks": [fluid_block(1, (20.0, 5.0), (55.0, 45.0),
+                                    vel=(0, 0))],
+    },
+    # tiny scene for smoke tests / CI
+    "smoke_test": {
+        "Configuration": config((0.5, 0.5, 0.5), "wcsph", 1e-3,
+                                extras={"addDomainBox": False, "totalTime": 0.05,
+                                        "fps": 200.0}),
+        "FluidBlocks": [fluid_block(0, (0.05, 0.05, 0.05), (0.25, 0.3, 0.25))],
+    },
+}
+
+for name, dt_, method in [("dragon_bath_pcisph", 8e-4, "pcisph"),
+                          ("dragon_bath_dfsph", 2e-3, "dfsph"),
+                          ("dragon_bath_iisph", 2e-3, "iisph")]:
+    base = json.loads(json.dumps(SCENES["dragon_bath_wcsph"]))
+    base["Configuration"]["simulationMethod"] = method
+    base["Configuration"]["timeStepSize"] = dt_
+    SCENES[name] = base
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    for name, spec in SCENES.items():
+        path = os.path.join(OUT, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(spec, f, indent=2)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

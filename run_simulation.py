@@ -1,0 +1,104 @@
+"""CLI driver: run a scene JSON end to end with periodic frame export.
+
+Flag- and layout-compatible with the reference driver
+(``run_simulation.py`` in jason-huang03/SPH_Project): ``--scene_file`` picks
+the JSON, frame cadence comes from ``fps`` / ``timeStepSize`` /
+``outputInterval``, total steps from ``totalTime``, and exports land in
+``<scene>_output/<frame:06d>/``. Extra conveniences: ``--steps`` caps the run,
+``--no-export`` disables IO, ``--device`` forces a JAX platform, and per-step
+solver telemetry prints like the reference's convergence logs.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scene_file", default="", help="scene file")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="cap on simulation steps (default: totalTime/dt)")
+    parser.add_argument("--no-export", action="store_true")
+    parser.add_argument("--device", default=None, choices=[None, "cpu", "tpu"])
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_interval", type=int, default=0,
+                        help="steps between checkpoints (0 = off)")
+    parser.add_argument("--resume", default=None,
+                        help="checkpoint directory to resume from")
+    args = parser.parse_args()
+
+    if args.device:
+        os.environ["JAX_PLATFORMS"] = args.device
+
+    from sph_project_tpu.scene import load_scene
+    from sph_project_tpu.sim import Simulation
+    from sph_project_tpu.io.exporters import FrameExporter
+
+    scene, state = load_scene(args.scene_file)
+    cfg = scene.config
+    params = scene.params
+
+    fps = cfg.get_cfg("fps") or 60
+    dt = params.dt
+    output_interval = int((1.0 / fps) / dt)
+    if cfg.get_cfg("outputInterval"):
+        output_interval = cfg.get_cfg("outputInterval")
+    total_time = cfg.get_cfg("totalTime") or 10.0
+    total_rounds = int(total_time / dt)
+    if args.steps is not None:
+        total_rounds = min(total_rounds, args.steps)
+
+    scene_name = os.path.splitext(os.path.basename(args.scene_file))[0] or "scene"
+    out_dir = args.output_dir or f"{scene_name}_output"
+    exporter = None
+    if not args.no_export:
+        exporter = FrameExporter(
+            scene, out_dir,
+            export_ply=bool(cfg.get_cfg("exportPly")),
+            export_obj=bool(cfg.get_cfg("exportObj")),
+            export_frame=bool(cfg.get_cfg("exportFrame")),
+        )
+
+    sim = Simulation(scene, state)
+
+    if args.resume:
+        from sph_project_tpu.io import checkpoint
+        sim.state = checkpoint.restore(args.resume, sim.state)
+        print(f"resumed from {args.resume} at step "
+              f"{int(sim.state.step_count)}")
+
+    print(f"Simulation method: {params.simulation_method}")
+    print(f"particles: {params.n_particles}  dt: {dt}  steps: {total_rounds}")
+
+    t_start = time.time()
+    start_cnt = int(sim.state.step_count)
+    for cnt in range(start_cnt, total_rounds):
+        diag = sim.step()
+        if not args.quiet and ("solver_iters" in diag):
+            # the reference prints per-step solver convergence (DFSPH.py:159,243)
+            msg = (f"step {cnt}: iters {int(diag['solver_iters'])} "
+                   f"err {float(diag.get('solver_err', 0)):.4f}")
+            if "div_iters" in diag:
+                msg += (f" | div iters {int(diag['div_iters'])} "
+                        f"err {float(diag['div_err']):.4f}")
+            print(msg)
+        if exporter is not None and cnt % output_interval == 0:
+            exporter.dump(sim.state, cnt)
+        if args.checkpoint_interval and cnt and cnt % args.checkpoint_interval == 0:
+            from sph_project_tpu.io import checkpoint
+            checkpoint.save(os.path.join(out_dir, "ckpt"), sim.state)
+
+    elapsed = time.time() - t_start
+    n_steps = total_rounds - start_cnt
+    if n_steps > 0:
+        print(f"Simulation Finished: {n_steps} steps in {elapsed:.1f}s "
+              f"({n_steps / max(elapsed, 1e-9):.1f} steps/s, "
+              f"{n_steps * params.n_particles / max(elapsed, 1e-9):.3g} particle-steps/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,22 +74,14 @@ def rigid_contact_wrench(
     f = jnp.where(touching[..., None], (jnp.maximum(fmag, 0.0))[..., None] * n, 0.0)
 
     # force f acts on particle i's body; reaction is captured when the pair
-    # appears mirrored (neighbor lists are symmetric by construction)
-    O = params.max_objects
-    seg_i = jnp.where(touching, jnp.clip(obj_i, 0, O - 1), O).reshape(-1)
-    force = jax.ops.segment_sum(f.reshape(-1, params.dim), seg_i,
-                                num_segments=O + 1)[:O]
-    com_i = rigid.com[jnp.clip(obj_i, 0, O - 1)]
-    arm = p.pos[:, None, :] - com_i
-    if params.dim == 3:
-        tq = jnp.where(touching[..., None], jnp.cross(arm, f), 0.0)
-    else:
-        tq = jnp.where(touching[..., None],
-                       (arm[..., :1] * 0 + (arm[..., 0] * f[..., 1] -
-                                            arm[..., 1] * f[..., 0])[..., None]), 0.0)
-    torque = jax.ops.segment_sum(tq.reshape(-1, tq.shape[-1]), seg_i,
-                                 num_segments=O + 1)[:O]
-    return force, torque
+    # appears mirrored (neighbor lists are symmetric by construction). The
+    # arm is constant per row, so reduce over neighbors first and use the
+    # cheap N-length per-object reduction.
+    from ..solvers.common import pair_cross, reduce_wrench
+    force_pp = jnp.sum(f, axis=1)
+    arm = p.pos - rigid.com[jnp.clip(p.object_id, 0, params.max_objects - 1)]
+    torque_pp = pair_cross(arm, force_pp, params.dim)
+    return reduce_wrench(force_pp, torque_pp, p, params)
 
 
 def rigid_body_step(

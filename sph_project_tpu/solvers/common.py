@@ -43,28 +43,39 @@ def pair_disp(pos: jnp.ndarray, nbrs: Neighbors) -> Tuple[jnp.ndarray, jnp.ndarr
     return R, dist
 
 
-def accumulate_rigid_wrench(
-    contrib: jnp.ndarray,          # (N, K, dim) per-pair force on the rigid body
-    arm: jnp.ndarray,              # (N, K, dim) lever arm (point - com_j)
-    valid: jnp.ndarray,            # (N, K) bool — pair contributes
-    obj_j: jnp.ndarray,            # (N, K) i32 object id of particle j
-    params: SimParams,
+def pair_cross(a: jnp.ndarray, b: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Cross product with the 2D scalar-torque convention."""
+    if dim == 3:
+        return jnp.cross(a, b)
+    return (a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0])[..., None]
+
+
+def reduce_wrench(
+    force_pp: jnp.ndarray,         # (N, dim) per-particle force on its body
+    torque_pp: jnp.ndarray,        # (N, dim|1) per-particle torque
+    p: ParticleState, params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sum per-pair forces/torques into per-object wrenches.
+    """Sum per-rigid-particle wrenches into per-object wrenches.
 
     Replaces the reference's `rigid_body_forces[obj] += ...` atomics
-    (base_solver.py:174-187,272-278) with a segment reduction.
+    (base_solver.py:174-187,272-278). The heavy per-pair work is reduced along
+    the neighbor axis *first* (exploiting neighbor-list symmetry: the force a
+    fluid particle i exerts on rigid particle j is accumulated on j's row),
+    so the segment reduction is only N-long — an (N*K)-pair scatter would
+    force pathological (8,128)-tile padding on TPU.
     """
     O = params.max_objects
-    seg = jnp.where(valid, obj_j, O).reshape(-1)
-    f = jnp.where(valid[..., None], contrib, 0.0).reshape(-1, params.dim)
-    if params.dim == 3:
-        tq = jnp.cross(arm, contrib)
-    else:
-        tq = (arm[..., 0] * contrib[..., 1] - arm[..., 1] * contrib[..., 0])[..., None]
-    tq = jnp.where(valid[..., None], tq, 0.0).reshape(-1, tq.shape[-1])
-    force = jax.ops.segment_sum(f, seg, num_segments=O + 1)[:O]
-    torque = jax.ops.segment_sum(tq, seg, num_segments=O + 1)[:O]
+    sel = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & (p.object_id >= 0)
+    seg = jnp.where(sel, jnp.clip(p.object_id, 0, O - 1), O)
+    # per-component 1-D segment sums avoid (N, 3) -> (N, 128) tile padding
+    force = jnp.stack([
+        jax.ops.segment_sum(jnp.where(sel, force_pp[:, d], 0.0), seg,
+                            num_segments=O + 1)[:O]
+        for d in range(force_pp.shape[1])], axis=-1)
+    torque = jnp.stack([
+        jax.ops.segment_sum(jnp.where(sel, torque_pp[:, d], 0.0), seg,
+                            num_segments=O + 1)[:O]
+        for d in range(torque_pp.shape[1])], axis=-1)
     return force, torque
 
 
@@ -177,14 +188,22 @@ def viscosity_acceleration_standard(
                   (jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1)) / params.density0,
                   0.0)
 
-    # force on dynamic rigid bodies: -pair_acc * m_i / rho0, arm = x_j - com_j
-    obj_j = p.object_id[nbrs.idx]
-    dyn_j = p.is_dynamic[nbrs.idx] > 0
-    valid = rigid_j & dyn_j & fluid_i[:, None]
-    fj = -acc_b * (p.mass / params.density0)[:, None, None]
-    pos_j = p.pos[nbrs.idx]
-    com_j = rigid.com[jnp.clip(obj_j, 0, params.max_objects - 1)]
-    force, torque = accumulate_rigid_wrench(fj, pos_j - com_j, valid, obj_j, params)
+    # Force on dynamic rigid bodies (base_solver.py:272-278), accumulated on
+    # the RIGID particle's row via pair symmetry: for rigid row r with fluid
+    # neighbor i, the i-view pair term used gradW_ij = -gradW(row), so
+    # f_r = +d2 mu_b V_r m_i / rho_i * v_xy / denom * gradW(row).
+    rigid_i = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+    nbr_fluid = nbrs.mask & (mat_j == MATERIAL_FLUID)
+    pair_ok = nbr_fluid & rigid_i[:, None]
+    rho_n = jnp.where(p.density[nbrs.idx] > 0, p.density[nbrs.idx], 1.0)
+    c = d2 * params.viscosity_b * p.rest_volume[:, None] * p.mass[nbrs.idx] \
+        / rho_n / denom * v_xy
+    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
+    force_pp = jnp.sum(f_pairs, axis=1)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm = p.pos - rigid.com[obj]                        # x_j - com_j per row
+    torque_pp = pair_cross(arm, force_pp, params.dim)
+    force, torque = reduce_wrench(force_pp, torque_pp, p, params)
     return a, force, torque
 
 
@@ -222,14 +241,21 @@ def pressure_acceleration(
     a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None],
                   jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1), 0.0)
 
-    obj_j = p.object_id[nbrs.idx]
-    dyn_j = p.is_dynamic[nbrs.idx] > 0
-    valid = rigid_j & dyn_j & fluid_i[:, None]
-    # force = +rho0 V_j p_i/rho_i^2 gradW * m_i ; arm uses x_i (base_solver.py:178-185)
-    fj = (term_b * (params.density0 * p.rest_volume)[:, None])[..., None] * gradW
-    com_j = rigid.com[jnp.clip(obj_j, 0, params.max_objects - 1)]
-    arm = p.pos[:, None, :] - com_j
-    force, torque = accumulate_rigid_wrench(fj, arm, valid, obj_j, params)
+    # Fluid->rigid force (base_solver.py:174-187), accumulated on the RIGID
+    # particle's row: f_r = sum_{fluid i} rho0 V_r (p_i/rho_i^2) m_i gradW_ij
+    # with gradW_ij = -gradW(row); arm uses the FLUID position x_i.
+    rigid_i = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+    pair_ok = nbrs.mask & (mat_j == MATERIAL_FLUID) & rigid_i[:, None]
+    rho_n = p.density[nbrs.idx]
+    p_over_rho2_n = pressure[nbrs.idx] / jnp.maximum(rho_n * rho_n, 1e-12)
+    m_n = params.density0 * p.rest_volume[nbrs.idx]
+    c = -(params.density0 * p.rest_volume)[:, None] * p_over_rho2_n * m_n
+    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
+    force_pp = jnp.sum(f_pairs, axis=1)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm_pairs = p.pos[nbrs.idx] - rigid.com[obj][:, None, :]
+    torque_pp = jnp.sum(pair_cross(arm_pairs, f_pairs, params.dim), axis=1)
+    force, torque = reduce_wrench(force_pp, torque_pp, p, params)
     return a, force, torque
 
 

@@ -96,14 +96,22 @@ def _correction(
     fluid_i = p.material == MATERIAL_FLUID
     dv = jnp.where(fluid_i[:, None], jnp.sum(dv_f + dv_b, axis=1), 0.0)
 
-    obj_j = p.object_id[nbrs.idx]
-    dyn_j = p.is_dynamic[nbrs.idx] > 0
-    valid = rigid_j & dyn_j & fluid_i[:, None]
-    f = grad_pj * coef_b[..., None] / params.dt * \
-        (p.rest_volume * params.density0)[:, None, None]
-    com_j = rigid.com[jnp.clip(obj_j, 0, params.max_objects - 1)]
-    arm = p.pos[nbrs.idx] - com_j
-    force, torque = common.accumulate_rigid_wrench(f, arm, valid, obj_j, params)
+    # Wrench on dynamic rigid bodies (DFSPH.py:193-202), accumulated on the
+    # RIGID particle's row: f_r = sum_{fluid i} V_r (-gradW_row) (k_i/rho_i)
+    # * rho0/dt * (V_i rho0); arm = x_r - com_r (DFSPH uses pos_j).
+    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+    k_n = kappa[nbrs.idx]
+    rho_n = jnp.maximum(p.density[nbrs.idx], 1e-12)
+    pair_ok = nbrs.mask & (mat_j == MATERIAL_FLUID) & rigid_i_row[:, None] & \
+        (jnp.abs(k_n) > eps)
+    c = -p.rest_volume[:, None] * (k_n / rho_n) * params.density0 / params.dt * \
+        (p.rest_volume[nbrs.idx] * params.density0)
+    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
+    force_pp = jnp.sum(f_pairs, axis=1)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm = p.pos - rigid.com[obj]
+    torque_pp = common.pair_cross(arm, force_pp, params.dim)
+    force, torque = common.reduce_wrench(force_pp, torque_pp, p, params)
     return dv, force, torque
 
 

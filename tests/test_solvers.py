@@ -1,0 +1,116 @@
+"""Physics-invariant tests for the solver family (the test strategy the
+reference lacks — SURVEY.md §4): rest-lattice density, dam-break settling
+within solver tolerances, boundary clamping, mass conservation, and
+method-specific telemetry."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_project_tpu.utils.config import SimConfig
+from sph_project_tpu.scene import load_scene
+from sph_project_tpu import sim as simlib
+
+
+def dam_break_cfg(method, dim=3, dt=1e-3, visc=0.05, visc_method="standard",
+                  extra=None):
+    conf = {
+        "domainStart": [0.0] * dim, "domainEnd": [0.5] * dim,
+        "addDomainBox": False, "particleRadius": 0.01,
+        "density0": 1000, "gravitation": [0, -9.81, 0][:dim] if dim == 3 else [0, -9.81],
+        "simulationMethod": method, "viscosityMethod": visc_method,
+        "timeStepSize": dt, "viscosity": visc,
+    }
+    if extra:
+        conf.update(extra)
+    blk = {"objectId": 0, "start": [0.05, 0.045, 0.05][:dim],
+           "end": [0.3, 0.2, 0.3][:dim],
+           "translation": [0] * dim, "scale": [1] * dim, "velocity": [0] * dim,
+           "density": 1000.0, "color": [50, 100, 200], "entryTime": -1.0}
+    return SimConfig(config={"Configuration": conf, "FluidBlocks": [blk]})
+
+
+def run_steps(cfg, n):
+    scene, state = load_scene(config=cfg)
+    sim = simlib.Simulation(scene, state)
+    diag = None
+    for _ in range(n):
+        diag = sim.step()
+    return scene, sim.state, {k: float(v) for k, v in diag.items()}
+
+
+@pytest.mark.parametrize("method", ["wcsph", "dfsph", "pcisph", "iisph"])
+def test_dam_break_settles(method):
+    dt = 5e-4
+    scene, state, diag = run_steps(dam_break_cfg(method, dt=dt), 60)
+    p = state.particles
+    pos = np.asarray(p.pos)
+    f = np.asarray(p.material) == 1
+    assert np.isfinite(pos[f]).all(), f"{method}: NaN positions"
+    # particles stay inside the padded domain
+    pad = scene.params.padding
+    assert pos[f].min() >= pad - 1e-5
+    assert pos[f].max() <= 0.5 - pad + 1e-5
+    # density never runs away (solvers keep compression bounded)
+    assert diag["density_max"] < 1150.0, f"{method}: density {diag['density_max']}"
+    assert diag["neighbor_overflow"] == 0
+
+
+def test_mass_conservation_and_determinism():
+    cfg = dam_break_cfg("wcsph", dt=5e-4)
+    scene, state, _ = run_steps(cfg, 30)
+    p = state.particles
+    f = np.asarray(p.material) == 1
+    total_mass = np.asarray(p.mass)[f].sum()
+    expect = scene.params.n_particles * 1000.0 * scene.params.v0
+    np.testing.assert_allclose(total_mass, expect, rtol=1e-5)
+    # same scene, same steps -> bitwise identical positions (XLA determinism)
+    _, state2, _ = run_steps(cfg, 30)
+    np.testing.assert_array_equal(np.asarray(state.particles.pos),
+                                  np.asarray(state2.particles.pos))
+
+
+def test_dfsph_density_error_within_tolerance():
+    scene, state, diag = run_steps(dam_break_cfg("dfsph", dt=1e-3), 80)
+    # solver_err is avg(rho*-rho0) after the last corrector iteration; the
+    # reference tolerance is 1e-4*rho0 = 0.1 (DFSPH.py:20,238)
+    assert diag["solver_err"] <= 0.1 + 1e-6
+    assert 1 <= diag["solver_iters"] <= 1000
+
+
+def test_wcsph_eos_and_density_clamp():
+    _, state, diag = run_steps(dam_break_cfg("wcsph", dt=5e-4), 40)
+    p = state.particles
+    f = np.asarray(p.material) == 1
+    dens = np.asarray(p.density)[f]
+    assert (dens >= 1000.0 - 1e-3).all()          # WCSPH.py:22 clamp
+    pres = np.asarray(p.pressure)[f]
+    assert (pres >= -1e-3).all()                   # EOS >= 0 at rho >= rho0
+
+
+def test_implicit_viscosity_damps_shear():
+    """High implicit viscosity should kill velocities much faster than none."""
+    cfg_hi = dam_break_cfg("dfsph", dt=1e-3, visc=500.0, visc_method="implicit")
+    cfg_lo = dam_break_cfg("dfsph", dt=1e-3, visc=0.0)
+    _, s_hi, d_hi = run_steps(cfg_hi, 40)
+    _, s_lo, d_lo = run_steps(cfg_lo, 40)
+    assert d_hi["vel_max"] < d_lo["vel_max"] * 0.9
+    assert np.isfinite(np.asarray(s_hi.particles.vel)).all()
+
+
+def test_entry_time_activation():
+    cfg = dam_break_cfg("wcsph", dt=1e-3)
+    cfg.config["FluidBlocks"].append({
+        "objectId": 1, "start": [0.3, 0.3, 0.3], "end": [0.4, 0.4, 0.4],
+        "translation": [0, 0, 0], "scale": [1, 1, 1], "velocity": [0, 0, 0],
+        "density": 1000.0, "color": [200, 50, 50], "entryTime": 0.01})
+    scene, state = load_scene(config=cfg)
+    sim = simlib.Simulation(scene, state)
+    def active_of(obj):
+        p = sim.state.particles
+        return int(np.sum((np.asarray(p.material) != 0) &
+                          (np.asarray(p.object_id) == obj)))
+    assert active_of(1) == 0
+    for _ in range(12):   # 12 steps > 0.01s/1e-3
+        sim.step()
+    assert active_of(1) > 0
