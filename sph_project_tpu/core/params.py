@@ -74,6 +74,9 @@ class SimParams:
     neighbor_cap: int = 64                 # K: neighbors kept per particle
     cell_cap: int = 24                     # C: candidates read per grid cell
     build_chunk: int = 16384               # particles per neighbor-build chunk
+    # dense pair engine (ops/pairs.py)
+    pair_block: int = 256                  # B: particles per block
+    pair_slab: int = 512                   # S: window cap per stencil segment
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     contact_stiffness: float = 1e5
@@ -119,7 +122,8 @@ def make_params(n_particles: int, **kw) -> SimParams:
     grid_num = tuple(
         int(math.ceil((e - s) / dh)) for s, e in zip(domain_start, domain_end)
     )
-    n_pad = _round_up(max(n_particles, 1), 1024)
+    blk = kw.get("pair_block", 256)
+    n_pad = _round_up(max(n_particles, 1), max(1024, blk))
     return SimParams(
         dim=dim,
         particle_radius=dx,

@@ -45,40 +45,41 @@ def _rodrigues(omega: jnp.ndarray, dt: float) -> jnp.ndarray:
 
 
 def rigid_contact_wrench(
-    p: ParticleState, rigid: RigidState, nbr_idx: jnp.ndarray,
-    nbr_mask: jnp.ndarray, params: SimParams,
+    p: ParticleState, rigid: RigidState, env, params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Particle-pair penalty contact between *different* rigid bodies.
 
     A DEM-style stand-in for Bullet's rigid-rigid collision: pairs of rigid
     particles from different objects closer than one particle diameter push
-    apart with a linear spring + normal damping. Accumulated per body via
-    segment_sum (no atomics).
+    apart with a linear spring + normal damping, accumulated per body over
+    the dense pair windows (ops/pairs.py) — no atomics, no scatters.
     """
+    from ..ops.pairs import block, pair_geometry, psum, slab_pack
+    from ..solvers.common import pair_cross, reduce_wrench
+
+    B = params.pair_block
     d0 = params.particle_diameter
-    R = p.pos[:, None, :] - p.pos[nbr_idx]
-    dist = jnp.linalg.norm(R, axis=-1)
-    obj_i = p.object_id[:, None]
-    obj_j = p.object_id[nbr_idx]
-    rigid_pair = (p.material[:, None] == MATERIAL_RIGID) & \
-                 (p.material[nbr_idx] == MATERIAL_RIGID) & \
-                 (obj_i != obj_j) & nbr_mask
+    sl = slab_pack(env, {"material": p.material, "object_id": p.object_id,
+                         "vel": p.vel})
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    dist = jnp.sqrt(d2)
+    obj_i = block(p.object_id, B)[:, :, None]
+    rigid_pair = (block(p.material, B)[:, :, None] == MATERIAL_RIGID) & \
+                 (sl["material"][:, None, :] == MATERIAL_RIGID) & \
+                 (obj_i != sl["object_id"][:, None, :]) & mask
     pen = d0 - dist
     touching = rigid_pair & (pen > 0.0)
 
     n = R / jnp.maximum(dist, 1e-9)[..., None]
-    v_rel = p.vel[:, None, :] - p.vel[nbr_idx]
+    v_rel = block(p.vel, B)[:, :, None, :] - sl["vel"][:, None, :, :]
     vn = jnp.sum(v_rel * n, axis=-1)
     fmag = params.contact_stiffness * pen - params.contact_damping * \
         params.contact_stiffness * params.dt * vn
-    f = jnp.where(touching[..., None], (jnp.maximum(fmag, 0.0))[..., None] * n, 0.0)
+    f = jnp.where(touching[..., None], jnp.maximum(fmag, 0.0)[..., None] * n, 0.0)
 
-    # force f acts on particle i's body; reaction is captured when the pair
-    # appears mirrored (neighbor lists are symmetric by construction). The
-    # arm is constant per row, so reduce over neighbors first and use the
-    # cheap N-length per-object reduction.
-    from ..solvers.common import pair_cross, reduce_wrench
-    force_pp = jnp.sum(f, axis=1)
+    # force f acts on particle i's body; the reaction appears when the pair
+    # shows up mirrored (windows are symmetric by construction)
+    force_pp = psum(f, touching)
     arm = p.pos - rigid.com[jnp.clip(p.object_id, 0, params.max_objects - 1)]
     torque_pp = pair_cross(arm, force_pp, params.dim)
     return reduce_wrench(force_pp, torque_pp, p, params)

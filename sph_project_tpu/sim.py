@@ -2,9 +2,9 @@
 
 This is the analogue of the reference's ``BaseSolver.step`` + driver loop
 (base_solver.py:683-696, run_simulation.py:116-155), restructured so a full
-step — neighbor sort/build, physics, pressure solve, rigid dynamics, boundary,
-deferred-entry activation — is a single XLA program with no host round trips.
-Host code only touches the state at export boundaries.
+step — neighbor sort, dense pair-window build, physics, pressure solve, rigid
+dynamics, boundary, deferred-entry activation — is a single XLA program with
+no host round trips. Host code only touches the state at export boundaries.
 """
 from __future__ import annotations
 
@@ -17,22 +17,20 @@ import jax.numpy as jnp
 from .core.params import MATERIAL_FLUID, MATERIAL_NONE, MATERIAL_RIGID, SimParams
 from .core.state import ParticleState, RigidState, SimState
 from .ops import neighbors as nblib
+from .ops import pairs
 from .rigid import integrator as rigidlib
 from .solvers import common
 
-
-# ---------------------------------------------------------------------------
-# Plumbing shared by every solver method
-# ---------------------------------------------------------------------------
 
 class Plumbing:
     """Shared step stages. Solver modules receive this to avoid import cycles
     and so alternative implementations (e.g. Pallas-fused) can be swapped in."""
 
     @staticmethod
-    def neighbor_prep(state: SimState, params: SimParams) -> Tuple[SimState, nblib.Neighbors]:
-        """Sort every per-particle array by grid cell and build neighbor lists
-        (the reference's prepare_neighborhood_search, base_container.py:544-547)."""
+    def neighbor_prep(state: SimState, params: SimParams) -> Tuple[SimState, pairs.PairEnv]:
+        """Sort every per-particle array by grid cell and build the dense
+        pair windows (the reference's prepare_neighborhood_search,
+        base_container.py:544-547)."""
         p = state.particles
         active = p.material != MATERIAL_NONE
         cells = nblib.flat_cell_ids(p.pos, active, params)
@@ -41,23 +39,22 @@ class Plumbing:
         visc_x = state.visc_x[perm]
         alpha = state.dfsph_alpha[perm]
         istar = state.iisph_density_star[perm]
-        nbrs = nblib.build_neighbors(p.pos, cells[perm], params)
+        env = pairs.make_pair_env(p.pos, cells[perm], params)
         return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
-                             iisph_density_star=istar), nbrs
+                             iisph_density_star=istar), env
 
     @staticmethod
     def non_pressure_acceleration(
-        p: ParticleState, rigid: RigidState, nbrs: nblib.Neighbors,
+        p: ParticleState, rigid: RigidState, env: pairs.PairEnv, sl: dict,
         state: SimState, params: SimParams,
     ) -> Tuple[ParticleState, RigidState]:
         """gravity (assign) + surface tension + viscosity
-        (base_solver.py:190-200). The implicit-viscosity variant is selected
-        at trace time from params.viscosity_method."""
+        (base_solver.py:190-200)."""
         acc = common.gravity_acceleration(p, params)
-        acc = acc + common.surface_tension_acceleration(p, nbrs, params)
+        acc = acc + common.surface_tension_acceleration(p, env, sl, params)
         if params.viscosity_method == "standard":
             a_v, rf, rt = common.viscosity_acceleration_standard(
-                p, p.vel, rigid, nbrs, params)
+                p, p.vel, rigid, env, sl, params)
             acc = acc + a_v
             rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
             p = p.replace(acc=acc)
@@ -65,7 +62,7 @@ class Plumbing:
             from .solvers import viscosity_cg
             p = p.replace(acc=acc)
             p, rigid, state = viscosity_cg.implicit_viscosity_solve(
-                p, rigid, state, nbrs, params)
+                p, rigid, state, env, sl, params)
         else:
             raise NotImplementedError(params.viscosity_method)
         return p, rigid
@@ -86,14 +83,14 @@ class Plumbing:
         return state.replace(particles=p, rigid=rigid)
 
     @staticmethod
-    def rigid_mid(state: SimState, nbrs: nblib.Neighbors,
+    def rigid_mid(state: SimState, env: pairs.PairEnv,
                   params: SimParams) -> SimState:
         """Rigid dynamics + entry activation + rigid particle renewal — the
         ``rigid_solver.step(); insert_object(); renew_rigid_particle_state()``
         block every method runs mid-step (e.g. WCSPH.py:39-43)."""
         p, rigid = state.particles, state.rigid
 
-        cf, ct = rigidlib.rigid_contact_wrench(p, rigid, nbrs.idx, nbrs.mask, params)
+        cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env, params)
         rigid = rigid.replace(force=rigid.force + cf, torque=rigid.torque + ct)
         rigid = rigidlib.rigid_body_step(p, rigid, params)
 
@@ -104,15 +101,19 @@ class Plumbing:
         return state.replace(particles=p, rigid=rigid)
 
     @staticmethod
-    def rigid_and_tail(state: SimState, nbrs: nblib.Neighbors,
+    def rigid_and_tail(state: SimState, env: pairs.PairEnv, sl: dict,
                        params: SimParams) -> SimState:
         """rigid_mid + boundary clamp + time/volume tail (the feed-forward
         methods' step ending; base_solver.py:692-696)."""
-        state = Plumbing.rigid_mid(state, nbrs, params)
+        state = Plumbing.rigid_mid(state, env, params)
         p = state.particles
         p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
-        # base_solver.py:692-696: advance time, recompute Akinci volumes
-        p = common.compute_rigid_particle_volume(p, nbrs, params)
+        # positions moved since the sort: re-slab them (+ object ids, which
+        # never move but may not be in sl for every method)
+        fresh = pairs.slab_pack(env, {"pos": p.pos, "object_id": p.object_id})
+        sl = dict(sl, object_id=fresh["object_id"])
+        p = common.compute_rigid_particle_volume(p, env, sl, params,
+                                                 pos_slab=fresh["pos"])
         return state.replace(
             particles=p,
             t=state.t + params.dt,
@@ -120,7 +121,7 @@ class Plumbing:
         )
 
     @staticmethod
-    def diagnostics(state: SimState, nbrs: nblib.Neighbors,
+    def diagnostics(state: SimState, env: pairs.PairEnv,
                     params: SimParams, extra: dict | None = None) -> dict:
         p = state.particles
         fluid = p.material == MATERIAL_FLUID
@@ -130,7 +131,7 @@ class Plumbing:
             density_avg=jnp.sum(jnp.where(fluid, p.density, 0.0)) / nf,
             density_max=jnp.max(jnp.where(fluid, p.density, 0.0)),
             vel_max=jnp.max(jnp.where(fluid[:, None], jnp.abs(p.vel), 0.0)),
-            neighbor_overflow=nbrs.k_overflow + nbrs.cell_overflow,
+            neighbor_overflow=env.overflow,
         )
         if extra:
             d.update(extra)
@@ -164,21 +165,22 @@ def get_step_fn(params: SimParams) -> Callable[[SimState], Tuple[SimState, dict]
 def prepare(state: SimState, params: SimParams) -> SimState:
     """Initial setup matching BaseSolver.prepare (base_solver.py:683-690):
     activate t=0 objects, emitter flip, place rigid particles, compute Akinci
-    volumes; DFSPH additionally seeds density/alpha (DFSPH.py:321-324) inside
-    its first step."""
+    volumes; DFSPH additionally seeds density + alpha (DFSPH.py:321-324)."""
     state = Plumbing.activate_entries(state, params)
     p, rigid = state.particles, state.rigid
     p = common.prepare_emitter(p, params)
     p = common.renew_rigid_particle_state(p, rigid, params)
     state = state.replace(particles=p)
-    state, nbrs = Plumbing.neighbor_prep(state, params)
-    p = common.compute_rigid_particle_volume(state.particles, nbrs, params)
-    state = state.replace(particles=p, cached_neighbors=nbrs)
+    state, env = Plumbing.neighbor_prep(state, params)
+    p = state.particles
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    p = common.compute_rigid_particle_volume(p, env, sl, params)
+    state = state.replace(particles=p, cached_neighbors=env)
     if params.simulation_method == "dfsph":
-        # DFSPH.prepare additionally seeds density + alpha (DFSPH.py:321-324)
         from .solvers import dfsph
-        p = p.replace(density=common.compute_density(p, nbrs, params))
-        alpha = dfsph.compute_alpha(p, nbrs, params)
+        sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+        p = p.replace(density=common.compute_density(p, env, sl, params))
+        alpha = dfsph.compute_alpha(p, env, sl, params)
         state = state.replace(particles=p, dfsph_alpha=alpha)
     return state
 

@@ -1,4 +1,4 @@
-"""Shared SPH operators over fixed-K neighbor lists.
+"""Shared SPH operators over the dense blocked pair engine (ops/pairs.py).
 
 Physics matches the reference's BaseSolver (SPH/fluid_solvers/base_solver.py in
 jason-huang03/SPH_Project):
@@ -12,11 +12,15 @@ jason-huang03/SPH_Project):
 - domain boundary clamp       base_solver.py:543-611
 - semi-implicit Euler + emitter base_solver.py:642-677
 
-The *implementation* is TPU-native: every "for_all_neighbors + atomics" kernel
-becomes a masked (N, K) gather + reduction (XLA fuses the elementwise chains
-onto the VPU), and rigid force/torque atomics become `segment_sum` by object
-id. All functions are pure and shape-static, so the whole step jits into one
-program with zero host round-trips.
+Implementation notes (TPU-native):
+- every "for_all_neighbors + atomics" kernel is a masked dense reduction over
+  per-block contiguous windows (see ops/pairs.py for why — XLA's random
+  gather runs at scalar rate, contiguous slab fetches at ~1us/slice)
+- ops receive a ``sl`` dict of slab-gathered neighbor fields so one packed
+  gather serves a whole pass
+- fluid->rigid wrenches are accumulated on the RIGID particle's row (pair
+  symmetry) and reduced with N-length per-component segment sums — never an
+  (N*K)-pair scatter
 """
 from __future__ import annotations
 
@@ -28,19 +32,16 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState
 from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack, unblock
+
+# slab keys used by the standard per-step passes
+STATIC_SLAB_KEYS = ("vel", "mass", "density", "pressure", "rest_volume",
+                    "material", "object_id", "is_dynamic")
 
 
-# ---------------------------------------------------------------------------
-# Pair-layout helpers
-# ---------------------------------------------------------------------------
-
-def pair_disp(pos: jnp.ndarray, nbrs: Neighbors) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """R_ij = x_i - x_j and |R| in (N, K) layout. Invalid slots point at self,
-    so R there is 0 (and every operator masks anyway)."""
-    R = pos[:, None, :] - pos[nbrs.idx]
-    dist = jnp.linalg.norm(R, axis=-1)
-    return R, dist
+def particle_slabs(env: PairEnv, p: ParticleState, keys) -> dict:
+    """One packed slab gather for the requested ParticleState fields."""
+    return slab_pack(env, {k: getattr(p, k) for k in keys})
 
 
 def pair_cross(a: jnp.ndarray, b: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -55,19 +56,11 @@ def reduce_wrench(
     torque_pp: jnp.ndarray,        # (N, dim|1) per-particle torque
     p: ParticleState, params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Sum per-rigid-particle wrenches into per-object wrenches.
-
-    Replaces the reference's `rigid_body_forces[obj] += ...` atomics
-    (base_solver.py:174-187,272-278). The heavy per-pair work is reduced along
-    the neighbor axis *first* (exploiting neighbor-list symmetry: the force a
-    fluid particle i exerts on rigid particle j is accumulated on j's row),
-    so the segment reduction is only N-long — an (N*K)-pair scatter would
-    force pathological (8,128)-tile padding on TPU.
-    """
+    """Sum per-rigid-particle wrenches into per-object wrenches (the
+    reference's rigid_body_forces[obj] += atomics, base_solver.py:174-187)."""
     O = params.max_objects
     sel = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & (p.object_id >= 0)
     seg = jnp.where(sel, jnp.clip(p.object_id, 0, O - 1), O)
-    # per-component 1-D segment sums avoid (N, 3) -> (N, 128) tile padding
     force = jnp.stack([
         jax.ops.segment_sum(jnp.where(sel, force_pp[:, d], 0.0), seg,
                             num_segments=O + 1)[:O]
@@ -79,40 +72,53 @@ def reduce_wrench(
     return force, torque
 
 
+def _w(env, d2, params):
+    return kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
+                     params.kernel_type)
+
+
+def _gradw(R, d2, params):
+    return kernels.grad_W(R, params.support_radius, params.dim,
+                          jnp.sqrt(d2), params.kernel_type)
+
+
 # ---------------------------------------------------------------------------
 # Rigid particle pseudo-volume (Akinci boundary sampling)
 # ---------------------------------------------------------------------------
 
-def compute_rigid_particle_volume(p: ParticleState, nbrs: Neighbors,
-                                  params: SimParams) -> ParticleState:
+def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
+                                  params: SimParams,
+                                  pos_slab=None) -> ParticleState:
     """V_b = 1 / sum_k W_bk over *same-object* neighbors (plus self W(0));
-    mass = rho0 * V_b. Only rigid particles at or below the emitter height
-    g_upper are updated (base_solver.py:105-123)."""
-    R, dist = pair_disp(p.pos, nbrs)
-    same_obj = p.object_id[nbrs.idx] == p.object_id[:, None]
-    W = jnp.where(nbrs.mask & same_obj,
-                  kernels.W(dist, params.support_radius, params.dim, params.kernel_type), 0.0)
-    denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + jnp.sum(W, axis=1)
-    vol = 1.0 / denom
+    mass = rho0 * V_b; rigid particles at/below g_upper only
+    (base_solver.py:105-123). Pass a fresh ``pos_slab`` when called after
+    positions moved (the step tail)."""
+    R, d2, mask = pair_geometry(env, p.pos, params, pos_slab=pos_slab)
+    same_obj = sl["object_id"][:, None, :] == block(p.object_id, params.pair_block)[:, :, None]
+    W = _w(env, d2, params)
+    s = psum(jnp.where(same_obj, W, 0.0), mask)
+    denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + s
+    vol = 1.0 / jnp.maximum(denom, 1e-30)
     sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper)
-    rest_volume = jnp.where(sel, vol, p.rest_volume)
-    mass = jnp.where(sel, params.density0 * vol, p.mass)
-    return p.replace(rest_volume=rest_volume, mass=mass)
+    return p.replace(
+        rest_volume=jnp.where(sel, vol, p.rest_volume),
+        mass=jnp.where(sel, params.density0 * vol, p.mass),
+    )
 
 
 # ---------------------------------------------------------------------------
 # Density
 # ---------------------------------------------------------------------------
 
-def compute_density(p: ParticleState, nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
-    """rho_i = rho0 * (V_i W(0) + sum_j V_j W_ij) for fluid particles; other
-    particles keep their stored density (base_solver.py:521-541)."""
-    _, dist = pair_disp(p.pos, nbrs)
-    W = jnp.where(nbrs.mask, kernels.W(dist, params.support_radius, params.dim, params.kernel_type), 0.0)
-    vj = p.rest_volume[nbrs.idx]
-    dens = p.rest_volume * kernels.W0(params.support_radius, params.dim, params.kernel_type)
-    dens = dens + jnp.sum(vj * W, axis=1)
-    dens = dens * params.density0
+def compute_density(p: ParticleState, env: PairEnv, sl: dict,
+                    params: SimParams) -> jnp.ndarray:
+    """rho_i = rho0 * (V_i W(0) + sum_j V_j W_ij) for fluid particles
+    (base_solver.py:521-541)."""
+    _, d2, mask = pair_geometry(env, p.pos, params)
+    W = _w(env, d2, params)
+    s = psum(sl["rest_volume"][:, None, :] * W, mask)
+    dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
+                                       params.kernel_type) + s) * params.density0
     return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
 
 
@@ -127,81 +133,71 @@ def gravity_acceleration(p: ParticleState, params: SimParams) -> jnp.ndarray:
     return jnp.where(fluid, g[None, :], 0.0)
 
 
-def surface_tension_acceleration(p: ParticleState, nbrs: Neighbors,
+def surface_tension_acceleration(p: ParticleState, env: PairEnv, sl: dict,
                                  params: SimParams) -> jnp.ndarray:
     """Cohesion-style surface tension over fluid neighbors
-    (base_solver.py:209-229): a_i -= st/m_i * m_j * R * W(max(|R|, diameter))."""
-    R, dist = pair_disp(p.pos, nbrs)
+    (base_solver.py:209-229)."""
+    R, d2, mask = pair_geometry(env, p.pos, params)
     diam = params.particle_diameter
-    w_r = kernels.W(dist, params.support_radius, params.dim, params.kernel_type)
-    w_d = kernels.W(jnp.asarray(diam, jnp.float32), params.support_radius, params.dim, params.kernel_type)
-    W = jnp.where(dist * dist > diam * diam, w_r, w_d)
-    fluid_j = p.material[nbrs.idx] == MATERIAL_FLUID
-    valid = nbrs.mask & fluid_j
-    mj = p.mass[nbrs.idx]
-    contrib = jnp.where(valid[..., None], (mj * W)[..., None] * R, 0.0)
-    a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * jnp.sum(contrib, axis=1)
-    fluid_i = (p.material == MATERIAL_FLUID)[:, None]
-    return jnp.where(fluid_i, a, 0.0)
-
-
-def _viscosity_pair_terms(p: ParticleState, vel: jnp.ndarray, nbrs: Neighbors,
-                          params: SimParams):
-    """Shared geometry for the standard-viscosity operator family."""
-    R, dist = pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    v_xy = jnp.sum((vel[:, None, :] - vel[nbrs.idx]) * R, axis=-1)     # (N, K)
-    denom = dist * dist + 0.01 * params.support_radius ** 2
-    mat_j = p.material[nbrs.idx]
-    return R, gradW, v_xy, denom, mat_j
+    w_r = _w(env, d2, params)
+    w_d = kernels.W(jnp.asarray(diam, jnp.float32), params.support_radius,
+                    params.dim, params.kernel_type)
+    W = jnp.where(d2 > diam * diam, w_r, w_d)
+    valid = mask & (sl["material"] == MATERIAL_FLUID)[:, None, :]
+    contrib = (sl["mass"][:, None, :] * W)[..., None] * R
+    s = psum(jnp.where(valid[..., None], contrib, 0.0), valid)
+    a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * s
+    return jnp.where((p.material == MATERIAL_FLUID)[:, None], a, 0.0)
 
 
 def viscosity_acceleration_standard(
     p: ParticleState, vel: jnp.ndarray, rigid: RigidState,
-    nbrs: Neighbors, params: SimParams,
+    env: PairEnv, sl: dict, params: SimParams,
+    vel_slab: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """XSPH-style viscosity (base_solver.py:231-278). Returns
-    (acceleration, rigid_force, rigid_torque). ``vel`` is passed separately so
-    the implicit solver can evaluate the same operator at the CG solution
-    (base_solver.py:515)."""
-    R, gradW, v_xy, denom, mat_j = _viscosity_pair_terms(p, vel, nbrs, params)
-    d2 = 2.0 * (params.dim + 2)
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
+    (acceleration, rigid_force, rigid_torque). ``vel``/``vel_slab`` are
+    passed separately so the implicit solver can evaluate the operator at the
+    CG solution (base_solver.py:515)."""
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = _gradw(R, d2, params)
+    if vel_slab is None:
+        vel_slab = sl["vel"]
+    v_xy = jnp.sum((block(vel, B)[:, :, None, :] - vel_slab[:, None, :, :]) * R,
+                   axis=-1)                                        # (NB,B,W)
+    denom = d2 + 0.01 * params.support_radius ** 2
+    d2c = 2.0 * (params.dim + 2)
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
 
-    # exact-zero densities (isolated poly6 particles) would turn 0-viscosity
-    # terms into NaN inside the masked sum; guard the division only there
-    rho_j = p.density[nbrs.idx]
+    # zero-density guard: isolated poly6 particles have rho == 0 exactly
+    rho_j = sl["density"][:, None, :]
     rho_j = jnp.where(rho_j > 0, rho_j, 1.0)
-    rho_i = jnp.where(p.density > 0, p.density, 1.0)[:, None]
+    rho_i = jnp.where(p.density > 0, p.density, 1.0)
+    rho_i_b = block(rho_i, B)[:, :, None]
 
-    m_ij = 0.5 * (p.mass[:, None] + p.mass[nbrs.idx])
-    coef_f = d2 * params.viscosity * m_ij / rho_j / denom * v_xy
-    acc_f = jnp.where(fluid_j[..., None], coef_f[..., None] * gradW, 0.0)
-
-    m_b = params.density0 * p.rest_volume[nbrs.idx]
-    coef_b = d2 * params.viscosity_b * m_b / rho_i / denom * v_xy
-    acc_b = jnp.where(rigid_j[..., None], coef_b[..., None] * gradW, 0.0)
-
+    m_ij = 0.5 * (block(p.mass, B)[:, :, None] + sl["mass"][:, None, :])
+    coef_f = d2c * params.viscosity * m_ij / rho_j / denom * v_xy
+    m_b = params.density0 * sl["rest_volume"][:, None, :]
+    coef_b = d2c * params.viscosity_b * m_b / rho_i_b / denom * v_xy
+    coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
+    s = psum(coef[..., None] * gradW, mask)
     fluid_i = p.material == MATERIAL_FLUID
-    a = jnp.where(fluid_i[:, None],
-                  (jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1)) / params.density0,
-                  0.0)
+    a = jnp.where(fluid_i[:, None], s / params.density0, 0.0)
 
-    # Force on dynamic rigid bodies (base_solver.py:272-278), accumulated on
-    # the RIGID particle's row via pair symmetry: for rigid row r with fluid
-    # neighbor i, the i-view pair term used gradW_ij = -gradW(row), so
-    # f_r = +d2 mu_b V_r m_i / rho_i * v_xy / denom * gradW(row).
-    rigid_i = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    nbr_fluid = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    pair_ok = nbr_fluid & rigid_i[:, None]
-    rho_n = jnp.where(p.density[nbrs.idx] > 0, p.density[nbrs.idx], 1.0)
-    c = d2 * params.viscosity_b * p.rest_volume[:, None] * p.mass[nbrs.idx] \
-        / rho_n / denom * v_xy
-    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
-    force_pp = jnp.sum(f_pairs, axis=1)
+    # wrench accumulated on the RIGID row r: f_r = +d2 mu_b V_r m_i / rho_i
+    #   * v_xy / denom * gradW(row)  (pair symmetry; base_solver.py:272-278)
+    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+    pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+        block(rigid_i_row, B)[:, :, None]
+    c = d2c * params.viscosity_b * block(p.rest_volume, B)[:, :, None] * \
+        sl["mass"][:, None, :] / rho_j / denom * v_xy
+    force_pp = psum(jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0),
+                    pair_ok)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm = p.pos - rigid.com[obj]                        # x_j - com_j per row
+    arm = p.pos - rigid.com[obj]
     torque_pp = pair_cross(arm, force_pp, params.dim)
     force, torque = reduce_wrench(force_pp, torque_pp, p, params)
     return a, force, torque
@@ -212,55 +208,59 @@ def viscosity_acceleration_standard(
 # ---------------------------------------------------------------------------
 
 def pressure_acceleration(
-    p: ParticleState, rigid: RigidState, nbrs: Neighbors, params: SimParams,
+    p: ParticleState, rigid: RigidState, env: PairEnv, sl: dict,
+    params: SimParams,
     pressure: jnp.ndarray | None = None,
+    pressure_slab: jnp.ndarray | None = None,
+    with_wrench: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """a_i = -sum_j m_j (p_i/rho_i^2 + p_j/rho_j^2) gradW for fluid neighbors,
-    mirrored rigid term with rho0, plus fluid->rigid wrench
-    (base_solver.py:135-187). Non-fluid particles get zero acceleration."""
+    """a_i = -sum_j m_j (p_i/rho_i^2 + p_j/rho_j^2) gradW (fluid j), mirrored
+    rigid term with rho0, plus fluid->rigid wrench (base_solver.py:135-187).
+    ``with_wrench=False`` gives PCISPH's temp acceleration (PCISPH.py:74-107).
+    """
+    B = params.pair_block
     if pressure is None:
         pressure = p.pressure
-    R, dist = pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
+    if pressure_slab is None:
+        pressure_slab = sl["pressure"]
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = _gradw(R, d2, params)
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
 
-    den_i = p.density[:, None]
-    p_over_rho2_i = (pressure / (p.density * p.density))[:, None]
-
-    den_j = p.density[nbrs.idx]
-    term_f = p.mass[nbrs.idx] * (p_over_rho2_i + pressure[nbrs.idx] / (den_j * den_j))
-    acc_f = jnp.where(fluid_j[..., None], -term_f[..., None] * gradW, 0.0)
-
-    vj_rho0 = params.density0 * p.rest_volume[nbrs.idx]
-    term_b = vj_rho0 * p_over_rho2_i
-    acc_b = jnp.where(rigid_j[..., None], -term_b[..., None] * gradW, 0.0)
-
+    p_rho2_i = block(pressure / jnp.maximum(p.density * p.density, 1e-12), B)[:, :, None]
+    rho_j = sl["density"][:, None, :]
+    term_f = sl["mass"][:, None, :] * (
+        p_rho2_i + pressure_slab[:, None, :] / jnp.maximum(rho_j * rho_j, 1e-12))
+    term_b = params.density0 * sl["rest_volume"][:, None, :] * p_rho2_i
+    term = jnp.where(fluid_j, term_f, 0.0) + jnp.where(rigid_j, term_b, 0.0)
+    s = psum(-term[..., None] * gradW, mask)
     fluid_i = p.material == MATERIAL_FLUID
-    a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None],
-                  jnp.sum(acc_f, axis=1) + jnp.sum(acc_b, axis=1), 0.0)
+    a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], s, 0.0)
+    if not with_wrench:
+        zf = jnp.zeros_like(rigid.force)
+        return a, zf, jnp.zeros_like(rigid.torque)
 
-    # Fluid->rigid force (base_solver.py:174-187), accumulated on the RIGID
-    # particle's row: f_r = sum_{fluid i} rho0 V_r (p_i/rho_i^2) m_i gradW_ij
-    # with gradW_ij = -gradW(row); arm uses the FLUID position x_i.
-    rigid_i = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    pair_ok = nbrs.mask & (mat_j == MATERIAL_FLUID) & rigid_i[:, None]
-    rho_n = p.density[nbrs.idx]
-    p_over_rho2_n = pressure[nbrs.idx] / jnp.maximum(rho_n * rho_n, 1e-12)
-    m_n = params.density0 * p.rest_volume[nbrs.idx]
-    c = -(params.density0 * p.rest_volume)[:, None] * p_over_rho2_n * m_n
+    # wrench on rigid row r from fluid i: f = -rho0 V_r (p_i/rho_i^2) m_i
+    #   * gradW(row); arm uses the fluid position x_i (base_solver.py:178-185)
+    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+    pair_ok = mask & (mat_j == MATERIAL_FLUID) & block(rigid_i_row, B)[:, :, None]
+    p_rho2_n = pressure_slab / jnp.maximum(sl["density"] ** 2, 1e-12)
+    m_n = params.density0 * sl["rest_volume"]
+    c = -(params.density0 * block(p.rest_volume, B))[:, :, None] * \
+        (p_rho2_n * m_n)[:, None, :]
     f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
-    force_pp = jnp.sum(f_pairs, axis=1)
+    force_pp = psum(f_pairs, pair_ok)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm_pairs = p.pos[nbrs.idx] - rigid.com[obj][:, None, :]
-    torque_pp = jnp.sum(pair_cross(arm_pairs, f_pairs, params.dim), axis=1)
+    arm_pairs = env.pos_slab[:, None, :, :] - block(rigid.com[obj], B)[:, :, None, :]
+    torque_pp = psum(pair_cross(arm_pairs, f_pairs, params.dim), pair_ok)
     force, torque = reduce_wrench(force_pp, torque_pp, p, params)
     return a, force, torque
 
 
 # ---------------------------------------------------------------------------
-# Integration, boundary, emitter
+# Integration, boundary, emitter (unchanged: purely per-particle)
 # ---------------------------------------------------------------------------
 
 def update_fluid_velocity(p: ParticleState, params: SimParams) -> ParticleState:
@@ -302,7 +302,7 @@ def enforce_domain_boundary(p: ParticleState, params: SimParams,
 
     over = p.pos > hi
     under = p.pos <= lo
-    normal = over.astype(jnp.float32) - under.astype(jnp.float32)   # (N, dim)
+    normal = over.astype(jnp.float32) - under.astype(jnp.float32)
     new_pos = jnp.clip(p.pos, lo, hi)
 
     nlen = jnp.linalg.norm(normal, axis=-1)

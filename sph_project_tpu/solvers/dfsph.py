@@ -8,9 +8,11 @@ Physics matches the reference DFSPHSolver (SPH/fluid_solvers/DFSPH.py):
 - divergence-free corrector             DFSPH.py:131-211 (tol 1e-3*rho0/dt)
 - step ordering                         DFSPH.py:298-319
 
-TPU-native difference: both correctors are ``lax.while_loop``s carrying
-(velocity, rigid wrench, error, iter) entirely on device — the reference syncs
-a scalar to the host every solver iteration (its dominant overhead).
+TPU-native: both correctors are ``lax.while_loop``s over the dense pair
+engine, carrying (velocity, rigid wrench, error, iter) entirely on device —
+the reference syncs a scalar to the host every solver iteration (its dominant
+overhead). Per iteration only the changing fields (vel, kappa) are re-slabbed
+(one packed gather).
 """
 from __future__ import annotations
 
@@ -22,92 +24,98 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_NONE, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
 from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
 from . import common
 
 
-def compute_alpha(p: ParticleState, nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+def compute_alpha(p: ParticleState, env: PairEnv, sl: dict,
+                  params: SimParams) -> jnp.ndarray:
     """alpha_i = 1 / (|sum_j V_j gradW|^2 + sum_{fluid j} |V_j gradW|^2),
     zero when the denominator is tiny (DFSPH.py:22-62). The squared-norm sum
     only counts fluid neighbors; the vector sum counts all."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    vj = p.rest_volume[nbrs.idx]
-    grad_pj = jnp.where(nbrs.mask[..., None], -vj[..., None] * gradW, 0.0)
-    fluid_j = nbrs.mask & (p.material[nbrs.idx] == MATERIAL_FLUID)
-    sum_sq = jnp.sum(jnp.where(fluid_j, jnp.sum(grad_pj * grad_pj, axis=-1), 0.0), axis=1)
-    vec = jnp.sum(grad_pj, axis=1)
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    vj = sl["rest_volume"][:, None, :]
+    grad_pj = -vj[..., None] * gradW                      # (NB,B,W,dim)
+    fluid_j = mask & (sl["material"] == MATERIAL_FLUID)[:, None, :]
+    sum_sq = psum(jnp.sum(grad_pj * grad_pj, axis=-1), fluid_j)
+    vec = psum(grad_pj, mask)
     denom = sum_sq + jnp.sum(vec * vec, axis=-1)
     alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     return jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
 
 
-def _divergence_sum(p: ParticleState, vel: jnp.ndarray, nbrs: Neighbors,
-                    params: SimParams) -> jnp.ndarray:
-    """sum_j V_j (v_i - v_j) . gradW_ij over all neighbors (DFSPH.py:90-101)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    dv = vel[:, None, :] - vel[nbrs.idx]
-    contrib = p.rest_volume[nbrs.idx] * jnp.sum(dv * gradW, axis=-1)
-    return jnp.sum(jnp.where(nbrs.mask, contrib, 0.0), axis=1)
+def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
+                    env: PairEnv, sl: dict, params: SimParams,
+                    with_count: bool = False):
+    """sum_j V_j (v_i - v_j) . gradW_ij over all neighbors (DFSPH.py:90-101),
+    optionally with the neighbor count for the deficiency guard."""
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    dv = block(vel, B)[:, :, None, :] - vel_slab[:, None, :, :]
+    contrib = sl["rest_volume"][:, None, :] * jnp.sum(dv * gradW, axis=-1)
+    s = psum(contrib, mask)
+    if with_count:
+        return s, psum(jnp.ones_like(contrib), mask)
+    return s
 
 
-def compute_density_derivative(p: ParticleState, vel: jnp.ndarray,
-                               nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+def compute_density_derivative(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
     """(D rho/Dt)/rho0, clamped positive; zeroed on particle deficiency
     (< 20 neighbors in 3D, < 7 in 2D; DFSPH.py:65-87)."""
-    adv = jnp.maximum(_divergence_sum(p, vel, nbrs, params), 0.0)
+    s, cnt = _divergence_sum(p, vel, vel_slab, env, sl, params, with_count=True)
+    adv = jnp.maximum(s, 0.0)
     min_nbrs = 20 if params.dim == 3 else 7
-    adv = jnp.where(nbrs.count < min_nbrs, 0.0, adv)
+    adv = jnp.where(cnt < min_nbrs, 0.0, adv)
     return jnp.where(p.material == MATERIAL_FLUID, adv, 0.0)
 
 
-def compute_density_star(p: ParticleState, vel: jnp.ndarray,
-                         nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+def compute_density_star(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
     """rho*/rho0 = rho/rho0 + dt * divergence-sum, clamped >= 1 (DFSPH.py:104-114)."""
-    star = p.density / params.density0 + params.dt * _divergence_sum(p, vel, nbrs, params)
-    star = jnp.maximum(star, 1.0)
+    s = _divergence_sum(p, vel, vel_slab, env, sl, params)
+    star = jnp.maximum(p.density / params.density0 + params.dt * s, 1.0)
     return jnp.where(p.material == MATERIAL_FLUID, star, 0.0)
 
 
 def _correction(
     p: ParticleState, rigid: RigidState, kappa: jnp.ndarray,
-    nbrs: Neighbors, params: SimParams,
+    kappa_slab: jnp.ndarray, env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Velocity correction dv and rigid wrench for one corrector iteration
     (DFSPH.py:161-202 / 245-283; both correctors share this form)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    grad_pj = p.rest_volume[nbrs.idx][..., None] * gradW        # (N, K, dim)
-    mat_j = p.material[nbrs.idx]
-    k_i = kappa[:, None]
-    rho_i = p.density[:, None]
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    grad_pj = sl["rest_volume"][:, None, :, None] * gradW
+    mat_j = sl["material"][:, None, :]
+    k_i = block(kappa, B)[:, :, None]
+    rho_i = block(jnp.maximum(p.density, 1e-12), B)[:, :, None]
     eps = params.dfsph_eps * params.dt
 
-    k_j = kappa[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
-    coef_f = (k_i / rho_i + k_j / p.density[nbrs.idx]) * params.density0
-    dv_f = jnp.where(fluid_j[..., None], -grad_pj * coef_f[..., None], 0.0)
-
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
+    k_j = kappa_slab[:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
+    rho_j = jnp.maximum(sl["density"], 1e-12)[:, None, :]
+    coef_f = (k_i / rho_i + k_j / rho_j) * params.density0
+    rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
     coef_b = (k_i / rho_i) * params.density0
-    dv_b = jnp.where(rigid_j[..., None], -grad_pj * coef_b[..., None], 0.0)
-
+    coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
+    dv = psum(-coef[..., None] * grad_pj, fluid_j | rigid_j)
     fluid_i = p.material == MATERIAL_FLUID
-    dv = jnp.where(fluid_i[:, None], jnp.sum(dv_f + dv_b, axis=1), 0.0)
+    dv = jnp.where(fluid_i[:, None], dv, 0.0)
 
-    # Wrench on dynamic rigid bodies (DFSPH.py:193-202), accumulated on the
-    # RIGID particle's row: f_r = sum_{fluid i} V_r (-gradW_row) (k_i/rho_i)
-    # * rho0/dt * (V_i rho0); arm = x_r - com_r (DFSPH uses pos_j).
+    # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202):
+    # f = V_r (-gradW_row) (k_i/rho_i) rho0/dt (V_i rho0)
     rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    k_n = kappa[nbrs.idx]
-    rho_n = jnp.maximum(p.density[nbrs.idx], 1e-12)
-    pair_ok = nbrs.mask & (mat_j == MATERIAL_FLUID) & rigid_i_row[:, None] & \
-        (jnp.abs(k_n) > eps)
-    c = -p.rest_volume[:, None] * (k_n / rho_n) * params.density0 / params.dt * \
-        (p.rest_volume[nbrs.idx] * params.density0)
-    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
-    force_pp = jnp.sum(f_pairs, axis=1)
+    k_n = kappa_slab[:, None, :]
+    rho_n = jnp.maximum(sl["density"], 1e-12)[:, None, :]
+    pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+        block(rigid_i_row, B)[:, :, None] & (jnp.abs(k_n) > eps)
+    c = -block(p.rest_volume, B)[:, :, None] * (k_n / rho_n) * \
+        params.density0 / params.dt * \
+        (sl["rest_volume"][:, None, :] * params.density0)
+    force_pp = psum(jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0),
+                    pair_ok)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
     torque_pp = common.pair_cross(arm, force_pp, params.dim)
@@ -124,11 +132,11 @@ def _avg_over_active(x: jnp.ndarray, p: ParticleState) -> jnp.ndarray:
 
 def correct_density_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
-    nbrs: Neighbors, params: SimParams,
+    env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray]:
-    """Constant-density solver (DFSPH.py:225-243). Returns updated particles,
-    rigid (accumulated wrench), iterations, final error."""
-    star0 = compute_density_star(p, p.vel, nbrs, params)
+    """Constant-density solver (DFSPH.py:225-243)."""
+    vslab0 = slab_pack(env, {"v": p.vel})["v"]
+    star0 = compute_density_star(p, p.vel, vslab0, env, sl, params)
 
     def cond(carry):
         _, _, _, _, itr, err = carry
@@ -138,10 +146,13 @@ def correct_density_error(
     def body(carry):
         vel, star, rf, rt, itr, _ = carry
         kappa = (star - 1.0) * alpha / params.dt
-        dv, f, tq = _correction(p.replace(vel=vel), rigid, kappa, nbrs, params)
+        ks = slab_pack(env, {"k": kappa})
+        dv, f, tq = _correction(p, rigid, kappa, ks["k"], env, sl, params)
         vel = vel + dv
-        star = compute_density_star(p, vel, nbrs, params)
-        err = _avg_over_active(star - jnp.where(p.material == MATERIAL_FLUID, 1.0, 0.0), p)
+        vs = slab_pack(env, {"v": vel})["v"]
+        star = compute_density_star(p, vel, vs, env, sl, params)
+        err = _avg_over_active(
+            star - jnp.where(p.material == MATERIAL_FLUID, 1.0, 0.0), p)
         return vel, star, rf + f, rt + tq, itr + 1, err
 
     init = (p.vel, star0, jnp.zeros_like(rigid.force),
@@ -153,11 +164,12 @@ def correct_density_error(
 
 def correct_divergence_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
-    nbrs: Neighbors, params: SimParams,
+    env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray]:
     """Divergence-free solver (DFSPH.py:139-159)."""
     eta = params.dfsph_max_error_v * params.density0 / params.dt
-    deriv0 = compute_density_derivative(p, p.vel, nbrs, params)
+    vslab0 = slab_pack(env, {"v": p.vel})["v"]
+    deriv0 = compute_density_derivative(p, p.vel, vslab0, env, sl, params)
 
     def cond(carry):
         _, _, _, _, itr, err = carry
@@ -166,9 +178,11 @@ def correct_divergence_error(
     def body(carry):
         vel, deriv, rf, rt, itr, _ = carry
         kappa_v = deriv * alpha
-        dv, f, tq = _correction(p.replace(vel=vel), rigid, kappa_v, nbrs, params)
+        ks = slab_pack(env, {"k": kappa_v})
+        dv, f, tq = _correction(p, rigid, kappa_v, ks["k"], env, sl, params)
         vel = vel + dv
-        deriv = compute_density_derivative(p, vel, nbrs, params)
+        vs = slab_pack(env, {"v": vel})["v"]
+        deriv = compute_density_derivative(p, vel, vs, env, sl, params)
         err = _avg_over_active(params.density0 * deriv, p)
         return vel, deriv, rf + f, rt + tq, itr + 1, err
 
@@ -180,40 +194,42 @@ def correct_divergence_error(
 
 
 def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
-    """One DFSPH step (DFSPH.py:298-319). Density/alpha for the *first* call
-    come from the end-of-previous-step computation; prepare() seeds them via
-    an initial neighbor pass (DFSPH.py:321-324 semantics are preserved
-    because density/alpha live in the carried state)."""
+    """One DFSPH step (DFSPH.py:298-319). Density/alpha/pair-env for the
+    start of the step come from the end of the previous one (prepare seeds
+    them, matching DFSPH.py:321-324)."""
     p, rigid = state.particles, state.rigid
-    nbrs0 = state.cached_neighbors  # built at end of previous step / prepare
+    env0 = state.cached_neighbors
+    sl0 = common.particle_slabs(env0, p, common.STATIC_SLAB_KEYS)
 
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, nbrs0, state, params)
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env0, sl0, state, params)
     p = common.update_fluid_velocity(p, params)
     p, rigid, itr_d, err_d = correct_density_error(
-        p, rigid, state.dfsph_alpha, nbrs0, params)
+        p, rigid, state.dfsph_alpha, env0, sl0, params)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
-    state = plumbing.rigid_mid(state, nbrs0, params)
+    state = plumbing.rigid_mid(state, env0, params)
     p, rigid = state.particles, state.rigid
 
     p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
     state = state.replace(particles=p)
 
-    state, nbrs = plumbing.neighbor_prep(state, params)
+    state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
-    p = p.replace(density=common.compute_density(p, nbrs, params))
-    alpha = compute_alpha(p, nbrs, params)
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    p = p.replace(density=common.compute_density(p, env, sl, params))
+    sl["density"] = slab_pack(env, {"d": p.density})["d"]
+    alpha = compute_alpha(p, env, sl, params)
     p, rigid, itr_v, err_v = correct_divergence_error(
-        p, state.rigid, alpha, nbrs, params)
+        p, state.rigid, alpha, env, sl, params)
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
-    p = common.compute_rigid_particle_volume(p, nbrs, params)
+    p = common.compute_rigid_particle_volume(p, env, sl, params)
     state = state.replace(
-        particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=nbrs,
+        particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=env,
         t=state.t + params.dt, step_count=state.step_count + 1,
     )
-    diag = plumbing.diagnostics(state, nbrs, params, extra=dict(
+    diag = plumbing.diagnostics(state, env, params, extra=dict(
         solver_iters=itr_d, solver_err=err_d * params.density0,
         div_iters=itr_v, div_err=err_v,
     ))

@@ -14,76 +14,87 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import SimState
-from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
 from . import common
 
 
-def _grads(p, nbrs: Neighbors, params: SimParams):
-    R, dist = common.pair_disp(p.pos, nbrs)
-    return kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-
-
-def compute_dii(p, density_star_prev, nbrs, params):
+def compute_dii(p, density_star_prev, env, sl, params):
     """d_ii = -sum_j rho0 V_j gradW / rho_j^2 (fluid j) with the rigid branch
     dividing by the stale advected density of i (IISPH.py:17-44)."""
-    gradW = _grads(p, nbrs, params)
-    mat_j = p.material[nbrs.idx]
-    rho0v = params.density0 * p.rest_volume[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    rho_j2 = jnp.square(p.density[nbrs.idx])
-    star_i2 = jnp.square(density_star_prev)[:, None]
-    c_f = jnp.where(fluid_j, -rho0v / jnp.maximum(rho_j2, 1e-12), 0.0)
-    c_b = jnp.where(rigid_j, -rho0v / jnp.maximum(star_i2, 1e-12), 0.0)
-    return jnp.sum((c_f + c_b)[..., None] * gradW, axis=1)
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    mat_j = sl["material"][:, None, :]
+    rho0v = params.density0 * sl["rest_volume"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    rho_j2 = jnp.square(sl["density"])[:, None, :]
+    star_i2 = jnp.square(block(density_star_prev, B))[:, :, None]
+    c = jnp.where(fluid_j, -rho0v / jnp.maximum(rho_j2, 1e-12), 0.0) + \
+        jnp.where(rigid_j, -rho0v / jnp.maximum(star_i2, 1e-12), 0.0)
+    return psum(c[..., None] * gradW, mask)
 
 
-def compute_aii(p, dii, nbrs, params):
+def compute_aii(p, dii, dii_slab, env, sl, params):
     """a_ii = dt^2 sum_j rho0 V_j (d_ii - d_ji) . gradW (IISPH.py:46-68)."""
-    gradW = _grads(p, nbrs, params)
-    rho0v_j = params.density0 * p.rest_volume[nbrs.idx]
-    dji = (params.density0 * p.rest_volume / jnp.square(p.density))[:, None, None] * gradW
-    term = jnp.sum((dii[:, None, :] - dji) * gradW, axis=-1)
-    s = jnp.sum(jnp.where(nbrs.mask, rho0v_j * term, 0.0), axis=1)
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    rho0v_j = params.density0 * sl["rest_volume"][:, None, :]
+    dpi = block(params.density0 * p.rest_volume /
+                jnp.maximum(jnp.square(p.density), 1e-12), B)
+    dji = dpi[:, :, None, None] * gradW
+    term = jnp.sum((block(dii, B)[:, :, None, :] - dji) * gradW, axis=-1)
+    s = psum(rho0v_j * term, mask)
     return s * params.dt * params.dt
 
 
-def compute_density_star(p, nbrs, params):
+def compute_density_star(p, env, sl, params):
     """Advected density rho + dt sum_j rho0 V_j (v_i - v_j).gradW (IISPH.py:70-90)."""
-    gradW = _grads(p, nbrs, params)
-    dv = p.vel[:, None, :] - p.vel[nbrs.idx]
-    contrib = params.density0 * p.rest_volume[nbrs.idx] * jnp.sum(dv * gradW, axis=-1)
-    s = jnp.sum(jnp.where(nbrs.mask, contrib, 0.0), axis=1)
-    return jnp.where(p.material == MATERIAL_FLUID, p.density + params.dt * s, p.density)
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    dv = block(p.vel, B)[:, :, None, :] - sl["vel"][:, None, :, :]
+    contrib = params.density0 * sl["rest_volume"][:, None, :] * \
+        jnp.sum(dv * gradW, axis=-1)
+    s = psum(contrib, mask)
+    return jnp.where(p.material == MATERIAL_FLUID,
+                     p.density + params.dt * s, p.density)
 
 
-def refine(p, dii, aii, density_star, nbrs, params):
+def refine(p, dii, aii, density_star, env, sl, params):
     """Relaxed-Jacobi pressure iteration (IISPH.py:124-200)."""
-    gradW = _grads(p, nbrs, params)
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    rho0v_j = params.density0 * p.rest_volume[nbrs.idx]
+    B = params.pair_block
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    rho0v_j = params.density0 * sl["rest_volume"][:, None, :]
     fluid_i = p.material == MATERIAL_FLUID
     nf = jnp.maximum(jnp.sum(fluid_i), 1)
-    dpi = (params.density0 * p.rest_volume / jnp.square(p.density))   # (N,)
+    dpi = params.density0 * p.rest_volume / jnp.maximum(jnp.square(p.density), 1e-12)
     si = params.density0 - density_star
+    rho_j2 = jnp.maximum(jnp.square(sl["density"]), 1e-12)[:, None, :]
+    dii_slab = slab_pack(env, {"dii": dii})["dii"]
 
     def one_iter(pressure):
+        pr_slab = slab_pack(env, {"pr": pressure})["pr"]
         # d_ij p_j (fluid neighbors only; IISPH.py:124-145)
-        c = jnp.where(fluid_j, -rho0v_j * pressure[nbrs.idx] /
-                      jnp.maximum(jnp.square(p.density[nbrs.idx]), 1e-12), 0.0)
-        dij_pj = jnp.sum(c[..., None] * gradW, axis=1)
+        c = jnp.where(fluid_j, -rho0v_j * pr_slab[:, None, :] / rho_j2, 0.0)
+        dij_pj = psum(c[..., None] * gradW, mask)
+        dp_slab = slab_pack(env, {"dp": dij_pj})["dp"]
 
         # sum_i (IISPH.py:147-182)
-        dji = dpi[:, None, None] * gradW
-        d_ji_pi = dji * pressure[:, None, None]
-        inner_f = dij_pj[:, None, :] - dii[nbrs.idx] * pressure[nbrs.idx][..., None] \
-            - (dij_pj[nbrs.idx] - d_ji_pi)
+        dji = block(dpi, B)[:, :, None, None] * gradW
+        d_ji_pi = dji * block(pressure, B)[:, :, None, None]
+        inner_f = block(dij_pj, B)[:, :, None, :] \
+            - dii_slab[:, None, :, :] * pr_slab[:, None, :, None] \
+            - (dp_slab[:, None, :, :] - d_ji_pi)
         t_f = jnp.where(fluid_j, rho0v_j * jnp.sum(inner_f * gradW, axis=-1), 0.0)
-        t_b = jnp.where(rigid_j, rho0v_j * jnp.sum(dij_pj[:, None, :] * gradW, axis=-1), 0.0)
-        sum_i = jnp.sum(t_f + t_b, axis=1) * params.dt * params.dt
+        t_b = jnp.where(rigid_j, rho0v_j * jnp.sum(
+            block(dij_pj, B)[:, :, None, :] * gradW, axis=-1), 0.0)
+        sum_i = psum(t_f + t_b, mask) * params.dt * params.dt
 
         # relaxed-Jacobi update (IISPH.py:97-122)
         can = jnp.abs(aii) > 1e-10
@@ -111,20 +122,25 @@ def refine(p, dii, aii, density_star, nbrs, params):
 
 def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     """One IISPH step (IISPH.py:203-228)."""
-    state, nbrs = plumbing.neighbor_prep(state, params)
+    state, env = plumbing.neighbor_prep(state, params)
     p, rigid = state.particles, state.rigid
-    p = p.replace(density=common.compute_density(p, nbrs, params),
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    p = p.replace(density=common.compute_density(p, env, sl, params),
                   pressure=jnp.zeros_like(p.pressure))
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, nbrs, state, params)
+    sl["density"] = slab_pack(env, {"d": p.density})["d"]
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state, params)
     p = common.update_fluid_velocity(p, params)
+    sl["vel"] = slab_pack(env, {"v": p.vel})["v"]
 
-    dii = compute_dii(p, state.iisph_density_star, nbrs, params)
-    aii = compute_aii(p, dii, nbrs, params)
-    density_star = compute_density_star(p, nbrs, params)
-    pressure, itr, err = refine(p, dii, aii, density_star, nbrs, params)
+    dii = compute_dii(p, state.iisph_density_star, env, sl, params)
+    dii_slab = slab_pack(env, {"dii": dii})["dii"]
+    aii = compute_aii(p, dii, dii_slab, env, sl, params)
+    density_star = compute_density_star(p, env, sl, params)
+    pressure, itr, err = refine(p, dii, aii, density_star, env, sl, params)
     p = p.replace(pressure=pressure)
+    sl["pressure"] = slab_pack(env, {"pr": pressure})["pr"]
 
-    acc, rf, rt = common.pressure_acceleration(p, rigid, nbrs, params)
+    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     p = common.update_fluid_velocity(p, params)
@@ -132,7 +148,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
 
     state = state.replace(particles=p, rigid=rigid,
                           iisph_density_star=density_star)
-    state = plumbing.rigid_and_tail(state, nbrs, params)
-    diag = plumbing.diagnostics(state, nbrs, params, extra=dict(
+    state = plumbing.rigid_and_tail(state, env, sl, params)
+    diag = plumbing.diagnostics(state, env, params, extra=dict(
         solver_iters=itr, solver_err=err * params.density0))
     return state, diag

@@ -9,6 +9,10 @@ velocity from position delta (:133-143). Note the reference PBF container
 allocates its lambda/old-position fields with size 0 so 3D PBF is effectively
 broken upstream (pbf_container.py:13-14); here the fixed-capacity state makes
 both 2D and 3D work.
+
+The 5 position iterations move particles while the pair windows stay from the
+step's sort — the reference behaves identically (candidates from the stale
+grid, distances re-tested per iteration).
 """
 from __future__ import annotations
 
@@ -17,7 +21,7 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, psum, slab_pack
 from . import common
 
 LAMBDA_EPS = 100.0          # PBF.py:12
@@ -25,72 +29,105 @@ CORR_K = 0.001              # PBF.py:13
 CORR_DELTA_Q = 0.3          # PBF.py:14
 
 
-def compute_lambda(p, nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+def _geom_moving(env, pos, pos_slab, params):
+    """Pair geometry with *moved* positions but the step's stale windows —
+    distances re-tested strictly, like for_all_neighbors on the stale grid."""
+    from ..ops.pairs import pair_geometry
+    return pair_geometry(env, pos, params, pos_slab=pos_slab)
+
+
+def compute_density_moving(p, pos, pos_slab, vol_slab, env, params):
+    """Density at moved positions (refine calls compute_density per iteration,
+    PBF.py:61-65)."""
+    _, d2, mask = _geom_moving(env, pos, pos_slab, params)
+    W = kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
+                  params.kernel_type)
+    s = psum(vol_slab[:, None, :] * W, mask)
+    dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
+                                       params.kernel_type) + s) * params.density0
+    return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
+
+
+def compute_lambda(p, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """lambda_i = -C_i / (sum |grad|^2 + |sum grad|^2 + eps) (PBF.py:68-101)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    w_f = p.mass[nbrs.idx] / params.density0
-    w_b = p.rest_volume[nbrs.idx] * p.density[:, None] / params.density0
-    w = jnp.where(fluid_j, w_f, jnp.where(rigid_j, w_b, 0.0))
+    R, d2, mask = _geom_moving(env, pos, pos_slab, params)
+    gradW = kernels.grad_W(R, params.support_radius, params.dim,
+                           jnp.sqrt(d2), params.kernel_type)
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    B = params.pair_block
+    w_f = sl["mass"][:, None, :] / params.density0
+    w_b = sl["rest_volume"][:, None, :] * block(dens, B)[:, :, None] / params.density0
+    w = jnp.where(fluid_j, w_f, 0.0) + jnp.where(rigid_j, w_b, 0.0)
     g = w[..., None] * gradW
-    sum_sq = jnp.sum(jnp.where(fluid_j | rigid_j, jnp.sum(g * g, axis=-1), 0.0), axis=1)
-    vec = jnp.sum(jnp.where((fluid_j | rigid_j)[..., None], g, 0.0), axis=1)
+    sum_sq = psum(jnp.sum(g * g, axis=-1), fluid_j | rigid_j)
+    vec = psum(g, fluid_j | rigid_j)
     denom = sum_sq + jnp.sum(vec * vec, axis=-1) + LAMBDA_EPS
-    constraint = p.density / params.density0 - 1.0       # deliberately unclamped (PBF.py:77-78)
+    constraint = dens / params.density0 - 1.0   # deliberately unclamped (PBF.py:77-78)
     lam = -constraint / denom
     return jnp.where(p.material == MATERIAL_FLUID, lam, 0.0)
 
 
-def fix_position(p, lam, nbrs: Neighbors, params: SimParams) -> jnp.ndarray:
+def fix_position(p, lam, lam_slab, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """dx_i = sum_j (lam_i + lam_j + s_corr) gradW * m_j / rho0 (PBF.py:104-131)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
+    B = params.pair_block
+    R, d2, mask = _geom_moving(env, pos, pos_slab, params)
+    dist = jnp.sqrt(d2)
+    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist,
+                           params.kernel_type)
     w_q = kernels.W(jnp.asarray(CORR_DELTA_Q * params.support_radius, jnp.float32),
                     params.support_radius, params.dim, params.kernel_type)
-    ratio = kernels.W(dist, params.support_radius, params.dim, params.kernel_type) / \
-        jnp.maximum(w_q, 1e-30)
+    ratio = kernels.W(dist, params.support_radius, params.dim,
+                      params.kernel_type) / jnp.maximum(w_q, 1e-30)
     scorr = -CORR_K * ratio ** 4
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    lam_i = lam[:, None]
-    coef_f = jnp.where(fluid_j, (lam_i + lam[nbrs.idx] + scorr) * p.mass[nbrs.idx], 0.0)
-    coef_b = jnp.where(rigid_j, (2.0 * lam_i + scorr) *
-                       p.rest_volume[nbrs.idx] * params.density0, 0.0)
-    dx = jnp.sum((coef_f + coef_b)[..., None] * gradW, axis=1) / params.density0
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    lam_i = block(lam, B)[:, :, None]
+    coef = jnp.where(fluid_j, (lam_i + lam_slab[:, None, :] + scorr) *
+                     sl["mass"][:, None, :], 0.0) + \
+        jnp.where(rigid_j, (2.0 * lam_i + scorr) *
+                  sl["rest_volume"][:, None, :] * params.density0, 0.0)
+    dx = psum(coef[..., None] * gradW, mask) / params.density0
     return jnp.where((p.material == MATERIAL_FLUID)[:, None], dx, 0.0)
 
 
 def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     """One PBF step (PBF.py:145-158). No rigid solve / inserts — the
     reference's PBF path doesn't run them either."""
-    state, nbrs = plumbing.neighbor_prep(state, params)
+    state, env = plumbing.neighbor_prep(state, params)
     p, rigid = state.particles, state.rigid
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
 
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, nbrs, state, params)
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state, params)
     p = common.update_fluid_velocity(p, params)
     old_pos = p.pos
     p = common.update_fluid_position(p, rigid, params)
     p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
 
     for _ in range(params.pbf_iters):                      # fixed 5 (PBF.py:61-65)
-        p = p.replace(density=common.compute_density(p, nbrs, params))
-        lam = compute_lambda(p, nbrs, params)
-        p = p.replace(pos=p.pos + fix_position(p, lam, nbrs, params))
+        moved = slab_pack(env, {"x": p.pos})
+        dens = compute_density_moving(p, p.pos, moved["x"],
+                                      sl["rest_volume"], env, params)
+        lam = compute_lambda(p, dens, p.pos, moved["x"], env, sl, params)
+        lam_slab = slab_pack(env, {"l": lam})["l"]
+        dx = fix_position(p, lam, lam_slab, dens, p.pos, moved["x"], env, sl, params)
+        p = p.replace(pos=p.pos + dx, density=dens)
 
     p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
     fluid = (p.material == MATERIAL_FLUID)[:, None]
     p = p.replace(vel=jnp.where(fluid, (p.pos - old_pos) / params.dt, p.vel))
 
     # base step wrapper tail (base_solver.py:692-696) still runs for PBF
-    p = common.compute_rigid_particle_volume(p, nbrs, params)
+    fresh = slab_pack(env, {"x": p.pos, "object_id": p.object_id})
+    sl["object_id"] = fresh["object_id"]
+    p = common.compute_rigid_particle_volume(p, env, sl, params,
+                                             pos_slab=fresh["x"])
     state = state.replace(
         particles=p, rigid=rigid,
         t=state.t + params.dt, step_count=state.step_count + 1,
     )
-    diag = plumbing.diagnostics(state, nbrs, params, extra=dict(
+    diag = plumbing.diagnostics(state, env, params, extra=dict(
         solver_iters=jnp.int32(params.pbf_iters), solver_err=jnp.float32(0)))
     return state, diag

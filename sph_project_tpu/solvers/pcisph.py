@@ -5,10 +5,10 @@ Physics matches the reference PCISPHSolver (SPH/fluid_solvers/PCISPH.py):
 - prediction-correction loop                          PCISPH.py:110-125
 - step ordering                                       PCISPH.py:165-190
 
-The host `while` loop becomes a `lax.while_loop`; the density error for the
-break test is the one measured at the *start* of each iteration, exactly like
-the reference (density_error is set by compute_density_star before the
-pressure update).
+The host `while` loop becomes a `lax.while_loop` over the dense pair engine;
+the density error for the break test is the one measured at the *start* of
+each iteration, exactly like the reference (density_error is set by
+compute_density_star before the pressure update).
 """
 from __future__ import annotations
 
@@ -18,10 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
+from ..core.params import MATERIAL_FLUID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
 from . import common
 
 
@@ -55,17 +55,21 @@ def compute_pcisph_k(params: SimParams) -> float:
     return -0.5 / (dtv * dtv) / denom
 
 
-def _density_star_predicted(p, pred_pos, nbrs: Neighbors, params: SimParams):
+def _density_star_predicted(p, pred_pos, pred_slab, env: PairEnv, sl: dict,
+                            params: SimParams):
     """rho* from predicted fluid positions; rigid neighbors keep their actual
     positions (PCISPH.py:48-62). Neighbor candidacy still comes from the
-    original-position grid, like the reference's for_all_neighbors."""
-    fluid_j = p.material[nbrs.idx] == MATERIAL_FLUID
-    pos_j = jnp.where(fluid_j[..., None], pred_pos[nbrs.idx], p.pos[nbrs.idx])
-    R = pred_pos[:, None, :] - pos_j
-    dist = jnp.linalg.norm(R, axis=-1)
-    W = jnp.where(nbrs.mask,
-                  kernels.W(dist, params.support_radius, params.dim, params.kernel_type), 0.0)
-    ratio = jnp.sum(p.rest_volume[nbrs.idx] * W, axis=1)   # rho*/rho0, no self term
+    original-position windows, like the reference's for_all_neighbors."""
+    B = params.pair_block
+    _, d2_orig, mask = pair_geometry(env, p.pos, params)
+    fluid_j = (sl["material"] == MATERIAL_FLUID)[:, None, :]
+    pos_j = jnp.where(fluid_j[..., None], pred_slab[:, None, :, :],
+                      env.pos_slab[:, None, :, :])
+    Rp = block(pred_pos, B)[:, :, None, :] - pos_j
+    d2p = jnp.sum(Rp * Rp, axis=-1)
+    W = kernels.W(jnp.sqrt(d2p), params.support_radius, params.dim,
+                  params.kernel_type)
+    ratio = psum(sl["rest_volume"][:, None, :] * W, mask)  # rho*/rho0, no self
     fluid_i = p.material == MATERIAL_FLUID
     star = jnp.where(fluid_i, ratio * params.density0, 0.0)
     nf = jnp.maximum(jnp.sum(fluid_i), 1)
@@ -73,24 +77,7 @@ def _density_star_predicted(p, pred_pos, nbrs: Neighbors, params: SimParams):
     return star, err
 
 
-def _pressure_acceleration_nowrench(p, pressure, nbrs: Neighbors, params: SimParams):
-    """Symmetric pressure acceleration WITHOUT rigid wrench accumulation —
-    the refine loop's temp acceleration (PCISPH.py:74-107)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    p_over_rho2_i = (pressure / (p.density * p.density))[:, None]
-    den_j = p.density[nbrs.idx]
-    term_f = p.mass[nbrs.idx] * (p_over_rho2_i + pressure[nbrs.idx] / (den_j * den_j))
-    term_b = params.density0 * p.rest_volume[nbrs.idx] * p_over_rho2_i
-    acc = jnp.sum(jnp.where(fluid_j[..., None], -term_f[..., None] * gradW, 0.0), axis=1) \
-        + jnp.sum(jnp.where(rigid_j[..., None], -term_b[..., None] * gradW, 0.0), axis=1)
-    return jnp.where((p.material == MATERIAL_FLUID)[:, None], acc, 0.0)
-
-
-def refine(p, nbrs: Neighbors, params: SimParams, k_pci: float):
+def refine(p, rigid, env: PairEnv, sl: dict, params: SimParams, k_pci: float):
     """The prediction-correction loop (PCISPH.py:110-125). Returns
     (pressure, iterations, final density error)."""
     fluid = (p.material == MATERIAL_FLUID)[:, None]
@@ -101,11 +88,15 @@ def refine(p, nbrs: Neighbors, params: SimParams, k_pci: float):
 
     def body(carry):
         pressure, pred_v, pred_x, itr, _ = carry
-        star, err = _density_star_predicted(p, pred_x, nbrs, params)
+        pred_slab = slab_pack(env, {"x": pred_x})["x"]
+        star, err = _density_star_predicted(p, pred_x, pred_slab, env, sl, params)
         pressure = pressure + k_pci * (params.density0 - star)
         pressure = jnp.where(p.material == MATERIAL_FLUID,
                              jnp.maximum(pressure, 0.0), 0.0)
-        p_acc = _pressure_acceleration_nowrench(p, pressure, nbrs, params)
+        pr_slab = slab_pack(env, {"pr": pressure})["pr"]
+        p_acc, _, _ = common.pressure_acceleration(
+            p, rigid, env, sl, params, pressure=pressure,
+            pressure_slab=pr_slab, with_wrench=False)
         pred_v = jnp.where(fluid, p.vel + params.dt * (p.acc + p_acc), pred_v)
         pred_x = jnp.where(fluid, p.pos + params.dt * pred_v, pred_x)
         return pressure, pred_v, pred_x, itr + 1, err
@@ -123,23 +114,26 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     """One PCISPH step (PCISPH.py:165-185)."""
     k_pci = compute_pcisph_k(params)
 
-    state, nbrs = plumbing.neighbor_prep(state, params)
+    state, env = plumbing.neighbor_prep(state, params)
     p, rigid = state.particles, state.rigid
-    p = p.replace(density=common.compute_density(p, nbrs, params))
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, nbrs, state, params)
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    p = p.replace(density=common.compute_density(p, env, sl, params))
+    sl["density"] = slab_pack(env, {"d": p.density})["d"]
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state, params)
 
-    pressure, itr, err = refine(p, nbrs, params, k_pci)
+    pressure, itr, err = refine(p, rigid, env, sl, params, k_pci)
     p = p.replace(pressure=pressure)
+    sl["pressure"] = slab_pack(env, {"pr": pressure})["pr"]
 
     p = common.update_fluid_velocity(p, params)
-    acc, rf, rt = common.pressure_acceleration(p, rigid, nbrs, params)
+    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     p = common.update_fluid_velocity(p, params)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
-    state = plumbing.rigid_and_tail(state, nbrs, params)
-    diag = plumbing.diagnostics(state, nbrs, params, extra=dict(
+    state = plumbing.rigid_and_tail(state, env, sl, params)
+    diag = plumbing.diagnostics(state, env, params, extra=dict(
         solver_iters=itr, solver_err=err * params.density0))
     return state, diag

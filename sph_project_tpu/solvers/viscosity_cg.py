@@ -14,11 +14,11 @@ Solver for SPH Fluids":
   solution becomes the acceleration (and rigid wrench) — the reference's
   trick at base_solver.py:509-517
 
-TPU-native difference: the CG driver is a ``lax.while_loop`` with on-device
-dot products (the reference reads the residual back to the host every
-iteration). The A_ij structure (scalar c_ij times gradW⊗R) is exploited so
-each matvec is a gather + two (N, K) contractions — no (N, K, 3, 3)
-materialization.
+TPU-native: the CG driver is a ``lax.while_loop`` with on-device dot products
+(the reference reads the residual back to the host every iteration); each
+matvec is one slab re-pack of the search direction plus a fused dense pair
+reduction — the A_ij structure (scalar c_ij times gradW⊗R) means no
+(pairs, 3, 3) matrices ever materialize.
 """
 from __future__ import annotations
 
@@ -29,66 +29,60 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
-from ..ops import kernels
-from ..ops.neighbors import Neighbors
+from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
 from . import common
-
-
-def _pair_coeffs(p: ParticleState, nbrs: Neighbors, params: SimParams):
-    """c_ij such that A_ij = c_ij * (gradW ⊗ R) (base_solver.py:348-371)."""
-    R, dist = common.pair_disp(p.pos, nbrs)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist, params.kernel_type)
-    denom = dist * dist + 0.01 * params.support_radius ** 2
-    d2 = 2.0 * (params.dim + 2)
-    mat_j = p.material[nbrs.idx]
-    fluid_j = nbrs.mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = nbrs.mask & (mat_j == MATERIAL_RIGID)
-    m_ij = 0.5 * (p.mass[:, None] + p.mass[nbrs.idx])
-    c_f = -d2 * params.viscosity * m_ij / p.density[nbrs.idx] / denom
-    m_b = params.density0 * p.rest_volume[nbrs.idx]
-    c_b = -d2 * params.viscosity_b * m_b / p.density[:, None] / denom
-    c = jnp.where(fluid_j, c_f, jnp.where(rigid_j, c_b, 0.0))
-    return R, gradW, c, fluid_j, rigid_j
 
 
 def implicit_viscosity_solve(
     p: ParticleState, rigid: RigidState, state: SimState,
-    nbrs: Neighbors, params: SimParams,
+    env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[ParticleState, RigidState, SimState]:
     """Solve (I - dt/rho0 A) v_new = b, then fold the result into the
     acceleration. Returns (particles with updated acc, rigid with wrench,
     state with next warm start)."""
+    B = params.pair_block
     fluid_i = p.material == MATERIAL_FLUID
     fmask = fluid_i[:, None]
     dt_rho = params.dt / params.density0
+    d2c = 2.0 * (params.dim + 2)
 
-    R, gradW, c, fluid_j, rigid_j = _pair_coeffs(p, nbrs, params)
+    R, d2, mask = pair_geometry(env, p.pos, params)
+    gradW = common._gradw(R, d2, params)
+    denom = d2 + 0.01 * params.support_radius ** 2
+    mat_j = sl["material"][:, None, :]
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    rho_j = jnp.maximum(sl["density"], 1e-12)[:, None, :]
+    rho_i = block(jnp.maximum(p.density, 1e-12), B)[:, :, None]
+    m_ij = 0.5 * (block(p.mass, B)[:, :, None] + sl["mass"][:, None, :])
+    m_b = params.density0 * sl["rest_volume"][:, None, :]
+    # c such that A_ij = c * (gradW ⊗ R) (base_solver.py:348-371)
+    c_f = -d2c * params.viscosity * m_ij / rho_j / denom
+    c_b = -d2c * params.viscosity_b * m_b / rho_i / denom
+    c = jnp.where(fluid_j, c_f, 0.0) + jnp.where(rigid_j, c_b, 0.0)
 
     # --- preconditioner D_i = I - dt/rho0 * sum_j (-A_ij) ------------------
-    # sum_j A_ij = sum_j c_ij gradW R^T  (outer products accumulated)
-    A_sum = jnp.einsum("nk,nki,nkj->nij", c, gradW, R)
+    outer = gradW[..., :, None] * R[..., None, :]          # (NB,B,W,d,d)
+    A_sum = psum(c[..., None, None] * outer, mask)         # (N, d, d)
     eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
-    D = eye + dt_rho * A_sum                       # I - dt/rho0 * (-sum A_ij)
+    D = eye + dt_rho * A_sum
     Dinv = jnp.linalg.inv(D)
     Dinv = jnp.where(fmask[..., None], Dinv, eye)
 
     # --- right-hand side (rigid neighbors move b; base_solver.py:334-346) ---
-    v_dot_R = jnp.sum(p.vel[nbrs.idx] * R, axis=-1)
-    denom = jnp.sum(R * R, axis=-1) + 0.01 * params.support_radius ** 2
-    d2 = 2.0 * (params.dim + 2)
-    cb = d2 * params.viscosity_b * params.density0 * p.rest_volume[nbrs.idx] \
-        / p.density[:, None] * v_dot_R / denom
-    b_rigid = jnp.sum(jnp.where(rigid_j[..., None], cb[..., None] * gradW, 0.0), axis=1)
-    b = p.vel - params.dt * b_rigid / params.density0
-    b = jnp.where(fmask, b, 0.0)
+    v_dot_R = jnp.sum(sl["vel"][:, None, :, :] * R, axis=-1)
+    cb_b = d2c * params.viscosity_b * m_b / rho_i * v_dot_R / denom
+    b_rigid = psum(jnp.where(rigid_j[..., None], cb_b[..., None] * gradW, 0.0),
+                   rigid_j)
+    b = jnp.where(fmask, p.vel - params.dt * b_rigid / params.density0, 0.0)
 
     def matvec(x):
         """(Ax)_i = x_i + dt/rho0 * Dinv_i sum_{fluid j} (-A_ij) x_j
-        (base_solver.py:373-391; only fluid neighbors in the off-diagonal)."""
-        xj = x[nbrs.idx]
-        s = jnp.sum(R * xj, axis=-1)               # R . x_j
-        contrib = jnp.where(fluid_j, -c * s, 0.0)  # scalar per pair
-        acc = jnp.einsum("nk,nkd->nd", contrib, gradW)
+        (base_solver.py:373-391; only fluid neighbors off-diagonal)."""
+        xs = slab_pack(env, {"x": x})["x"]
+        s = jnp.sum(R * xs[:, None, :, :], axis=-1)        # R . x_j
+        contrib = jnp.where(fluid_j, -c * s, 0.0)
+        acc = psum(contrib[..., None] * gradW, fluid_j)
         out = x + dt_rho * jnp.einsum("nij,nj->ni", Dinv, acc)
         return jnp.where(fmask, out, 0.0)
 
@@ -118,7 +112,9 @@ def implicit_viscosity_solve(
 
     # --- fold into acceleration (base_solver.py:509-517) --------------------
     v_sol = jnp.where(fmask, x, p.vel)
-    a_v, rf, rt = common.viscosity_acceleration_standard(p, v_sol, rigid, nbrs, params)
+    v_sol_slab = slab_pack(env, {"v": v_sol})["v"]
+    a_v, rf, rt = common.viscosity_acceleration_standard(
+        p, v_sol, rigid, env, sl, params, vel_slab=v_sol_slab)
     p = p.replace(acc=p.acc + a_v)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     state = state.replace(visc_x=jnp.where(fmask, x - p.vel, 0.0))

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, SimParams
 from ..core.state import SimState
+from ..ops.pairs import slab_pack
 from . import common
 
 
@@ -29,15 +30,19 @@ def compute_pressure(p, params: SimParams):
 
 def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     """One WCSPH step (WCSPH.py:27-45 + base step wrapper base_solver.py:692-696)."""
-    state, nbrs = plumbing.neighbor_prep(state, params)
+    state, env = plumbing.neighbor_prep(state, params)
     p, rigid = state.particles, state.rigid
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
 
-    p = p.replace(density=common.compute_density(p, nbrs, params))
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, nbrs, state, params)
+    p = p.replace(density=common.compute_density(p, env, sl, params))
+    sl["density"] = slab_pack(env, {"d": p.density})["d"]
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state, params)
     p = common.update_fluid_velocity(p, params)
 
     p = compute_pressure(p, params)
-    acc, rf, rt = common.pressure_acceleration(p, rigid, nbrs, params)
+    up = slab_pack(env, {"d": p.density, "pr": p.pressure})
+    sl["density"], sl["pressure"] = up["d"], up["pr"]
+    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
 
@@ -45,6 +50,6 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
-    state = plumbing.rigid_and_tail(state, nbrs, params)
-    diag = plumbing.diagnostics(state, nbrs, params)
+    state = plumbing.rigid_and_tail(state, env, sl, params)
+    diag = plumbing.diagnostics(state, env, params)
     return state, diag
