@@ -77,6 +77,7 @@ class SimParams:
     # dense pair engine (ops/pairs.py)
     pair_block: int = 256                  # B: particles per block
     pair_slab: int = 512                   # S: window cap per stencil segment
+    pair_chunk: int = 8                    # blocks per lax.map chunk (memory cap)
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     contact_stiffness: float = 1e5

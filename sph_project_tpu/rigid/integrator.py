@@ -54,32 +54,36 @@ def rigid_contact_wrench(
     apart with a linear spring + normal damping, accumulated per body over
     the dense pair windows (ops/pairs.py) — no atomics, no scatters.
     """
-    from ..ops.pairs import block, pair_geometry, psum, slab_pack
+    from ..ops.pairs import run_blocked, slab_pack
     from ..solvers.common import pair_cross, reduce_wrench
 
-    B = params.pair_block
     d0 = params.particle_diameter
     sl = slab_pack(env, {"material": p.material, "object_id": p.object_id,
                          "vel": p.vel})
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    dist = jnp.sqrt(d2)
-    obj_i = block(p.object_id, B)[:, :, None]
-    rigid_pair = (block(p.material, B)[:, :, None] == MATERIAL_RIGID) & \
-                 (sl["material"][:, None, :] == MATERIAL_RIGID) & \
-                 (obj_i != sl["object_id"][:, None, :]) & mask
-    pen = d0 - dist
-    touching = rigid_pair & (pen > 0.0)
 
-    n = R / jnp.maximum(dist, 1e-9)[..., None]
-    v_rel = block(p.vel, B)[:, :, None, :] - sl["vel"][:, None, :, :]
-    vn = jnp.sum(v_rel * n, axis=-1)
-    fmag = params.contact_stiffness * pen - params.contact_damping * \
-        params.contact_stiffness * params.dt * vn
-    f = jnp.where(touching[..., None], jnp.maximum(fmag, 0.0)[..., None] * n, 0.0)
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        dist = jnp.sqrt(d2)
+        rigid_pair = (f_c["material"][:, :, None] == MATERIAL_RIGID) & \
+                     (sl_c["material"][:, None, :] == MATERIAL_RIGID) & \
+                     (f_c["object_id"][:, :, None] != sl_c["object_id"][:, None, :]) & mask
+        pen = d0 - dist
+        touching = rigid_pair & (pen > 0.0)
+        n = R / jnp.maximum(dist, 1e-9)[..., None]
+        v_rel = f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :]
+        vn = jnp.sum(v_rel * n, axis=-1)
+        fmag = params.contact_stiffness * pen - params.contact_damping * \
+            params.contact_stiffness * params.dt * vn
+        f = jnp.where(touching[..., None],
+                      jnp.maximum(fmag, 0.0)[..., None] * n, 0.0)
+        # force f acts on particle i's body; the reaction appears when the
+        # pair shows up mirrored (windows are symmetric by construction)
+        return ctx.sum_w(f, touching)
 
-    # force f acts on particle i's body; the reaction appears when the pair
-    # shows up mirrored (windows are symmetric by construction)
-    force_pp = psum(f, touching)
+    force_pp = run_blocked(
+        kern, env, sl,
+        {"pos": p.pos, "material": p.material, "object_id": p.object_id,
+         "vel": p.vel}, params)
     arm = p.pos - rigid.com[jnp.clip(p.object_id, 0, params.max_objects - 1)]
     torque_pp = pair_cross(arm, force_pp, params.dim)
     return reduce_wrench(force_pp, torque_pp, p, params)

@@ -1,0 +1,90 @@
+"""Shape-matching rigid solver (Mueller et al. 2005) — pure JAX.
+
+Counterpart of the reference's ShapeMatchingRigidSolver
+(SPH/rigid_solver/shape_matching_solver.py — present upstream but unused,
+"not used in the project", shape_matching_solver.py:5). Provided as an
+alternative rigid backend that needs no explicit inertia handling: particles
+integrate freely, then each body's particle cloud is projected back onto the
+best-fit rigid transform via polar decomposition.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import MATERIAL_RIGID, SimParams
+from ..core.state import ParticleState, RigidState
+
+
+def _polar_rotation(A: jnp.ndarray) -> jnp.ndarray:
+    """Rotation factor of the polar decomposition A = R S (batched), via SVD
+    with reflection fix (the reference uses ti.polar_decompose,
+    shape_matching_solver.py:88)."""
+    U, _, Vt = jnp.linalg.svd(A)
+    R = U @ Vt
+    det = jnp.linalg.det(R)
+    fix = jnp.concatenate(
+        [jnp.ones(R.shape[:-1] + (R.shape[-1] - 1,)), det[..., None]], axis=-1)
+    return (U * fix[..., None, :]) @ Vt
+
+
+def shape_matching_step(
+    p: ParticleState, rigid: RigidState, params: SimParams,
+) -> Tuple[ParticleState, RigidState]:
+    """One projection: gravity-integrate rigid particles freely, fit the
+    best rigid transform per body, snap particles onto it
+    (shape_matching_solver.py:39-98)."""
+    O = params.max_objects
+    dt = params.dt
+    g = jnp.asarray(params.gravity, jnp.float32)
+
+    sel = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & (p.object_id >= 0)
+    obj = jnp.clip(p.object_id, 0, O - 1)
+    seg = jnp.where(sel, obj, O)
+
+    # free integration of rigid particles
+    vel = jnp.where(sel[:, None], p.vel + dt * g[None], p.vel)
+    pos = jnp.where(sel[:, None], p.pos + dt * vel, p.pos)
+
+    # per-body counts and centroids
+    w = sel.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(w, seg, num_segments=O + 1)[:O]
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    com = jnp.stack([
+        jax.ops.segment_sum(jnp.where(sel, pos[:, d], 0.0), seg, O + 1)[:O]
+        for d in range(params.dim)], axis=-1) / cnt_safe[:, None]
+    com0 = jnp.stack([
+        jax.ops.segment_sum(jnp.where(sel, p.rigid_rest_pos[:, d], 0.0),
+                            seg, O + 1)[:O]
+        for d in range(params.dim)], axis=-1) / cnt_safe[:, None]
+
+    # covariance A = sum (x - com)(q - com0)^T per body
+    q = p.rigid_rest_pos - com0[obj]
+    x = pos - com[obj]
+    A = jnp.stack([
+        jnp.stack([
+            jax.ops.segment_sum(jnp.where(sel, x[:, i] * q[:, j], 0.0),
+                                seg, O + 1)[:O]
+            for j in range(params.dim)], axis=-1)
+        for i in range(params.dim)], axis=-2)                 # (O, d, d)
+    has = cnt > 0
+    eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
+    A = jnp.where(has[:, None, None], A, eye)
+    R = _polar_rotation(A)
+
+    # project particles onto the fitted transform; velocity from the motion
+    goal = com[obj] + jnp.einsum("nij,nj->ni", R[obj], q)
+    new_vel = (goal - p.pos) / dt
+    p = p.replace(
+        pos=jnp.where(sel[:, None], goal, p.pos),
+        vel=jnp.where(sel[:, None], new_vel, p.vel),
+    )
+    active = has & (rigid.is_dynamic > 0)
+    rigid = rigid.replace(
+        com=jnp.where(active[:, None], com, rigid.com),
+        com0=jnp.where(active[:, None], com0, rigid.com0),
+        rot=jnp.where(active[:, None, None], R, rigid.rot),
+    )
+    return p, rigid

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack, unblock
+from ..ops.pairs import PairEnv, run_blocked, slab_pack
 
 # slab keys used by the standard per-step passes
 STATIC_SLAB_KEYS = ("vel", "mass", "density", "pressure", "rest_volume",
@@ -72,12 +72,12 @@ def reduce_wrench(
     return force, torque
 
 
-def _w(env, d2, params):
+def _wfn(d2, params):
     return kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
                      params.kernel_type)
 
 
-def _gradw(R, d2, params):
+def _gradwfn(R, d2, params):
     return kernels.grad_W(R, params.support_radius, params.dim,
                           jnp.sqrt(d2), params.kernel_type)
 
@@ -93,10 +93,18 @@ def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
     mass = rho0 * V_b; rigid particles at/below g_upper only
     (base_solver.py:105-123). Pass a fresh ``pos_slab`` when called after
     positions moved (the step tail)."""
-    R, d2, mask = pair_geometry(env, p.pos, params, pos_slab=pos_slab)
-    same_obj = sl["object_id"][:, None, :] == block(p.object_id, params.pair_block)[:, :, None]
-    W = _w(env, d2, params)
-    s = psum(jnp.where(same_obj, W, 0.0), mask)
+    def kern(ctx, sl_c, f_c):
+        ps = sl_c["__pos__"] if "__pos__" in sl_c else ctx.pos_slab
+        R, d2, mask = ctx.geometry(params, pos_slab=ps)
+        same = sl_c["object_id"][:, None, :] == f_c["object_id"][:, :, None]
+        W = _wfn(d2, params)
+        return ctx.sum_w(jnp.where(same, W, 0.0), mask)
+
+    slabs = {"object_id": sl["object_id"]}
+    if pos_slab is not None:
+        slabs["__pos__"] = pos_slab
+    s = run_blocked(kern, env, slabs,
+                    {"pos": p.pos, "object_id": p.object_id}, params)
     denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + s
     vol = 1.0 / jnp.maximum(denom, 1e-30)
     sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper)
@@ -114,9 +122,13 @@ def compute_density(p: ParticleState, env: PairEnv, sl: dict,
                     params: SimParams) -> jnp.ndarray:
     """rho_i = rho0 * (V_i W(0) + sum_j V_j W_ij) for fluid particles
     (base_solver.py:521-541)."""
-    _, d2, mask = pair_geometry(env, p.pos, params)
-    W = _w(env, d2, params)
-    s = psum(sl["rest_volume"][:, None, :] * W, mask)
+    def kern(ctx, sl_c, f_c):
+        _, d2, mask = ctx.geometry(params)
+        W = _wfn(d2, params)
+        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+
+    s = run_blocked(kern, env, {"rest_volume": sl["rest_volume"]},
+                    {"pos": p.pos}, params)
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type) + s) * params.density0
     return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
@@ -137,15 +149,20 @@ def surface_tension_acceleration(p: ParticleState, env: PairEnv, sl: dict,
                                  params: SimParams) -> jnp.ndarray:
     """Cohesion-style surface tension over fluid neighbors
     (base_solver.py:209-229)."""
-    R, d2, mask = pair_geometry(env, p.pos, params)
     diam = params.particle_diameter
-    w_r = _w(env, d2, params)
     w_d = kernels.W(jnp.asarray(diam, jnp.float32), params.support_radius,
                     params.dim, params.kernel_type)
-    W = jnp.where(d2 > diam * diam, w_r, w_d)
-    valid = mask & (sl["material"] == MATERIAL_FLUID)[:, None, :]
-    contrib = (sl["mass"][:, None, :] * W)[..., None] * R
-    s = psum(jnp.where(valid[..., None], contrib, 0.0), valid)
+
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        W = jnp.where(d2 > diam * diam, _wfn(d2, params), w_d)
+        valid = mask & (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
+        contrib = (sl_c["mass"][:, None, :] * W)[..., None] * R
+        return ctx.sum_w(contrib, valid)
+
+    s = run_blocked(kern, env,
+                    {"material": sl["material"], "mass": sl["mass"]},
+                    {"pos": p.pos}, params)
     a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * s
     return jnp.where((p.material == MATERIAL_FLUID)[:, None], a, 0.0)
 
@@ -159,47 +176,53 @@ def viscosity_acceleration_standard(
     (acceleration, rigid_force, rigid_torque). ``vel``/``vel_slab`` are
     passed separately so the implicit solver can evaluate the operator at the
     CG solution (base_solver.py:515)."""
-    B = params.pair_block
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = _gradw(R, d2, params)
+    d2c = 2.0 * (params.dim + 2)
     if vel_slab is None:
         vel_slab = sl["vel"]
-    v_xy = jnp.sum((block(vel, B)[:, :, None, :] - vel_slab[:, None, :, :]) * R,
-                   axis=-1)                                        # (NB,B,W)
-    denom = d2 + 0.01 * params.support_radius ** 2
-    d2c = 2.0 * (params.dim + 2)
-    mat_j = sl["material"][:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = mask & (mat_j == MATERIAL_RIGID)
 
-    # zero-density guard: isolated poly6 particles have rho == 0 exactly
-    rho_j = sl["density"][:, None, :]
-    rho_j = jnp.where(rho_j > 0, rho_j, 1.0)
-    rho_i = jnp.where(p.density > 0, p.density, 1.0)
-    rho_i_b = block(rho_i, B)[:, :, None]
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = _gradwfn(R, d2, params)
+        v_xy = jnp.sum((f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :])
+                       * R, axis=-1)
+        denom = d2 + 0.01 * params.support_radius ** 2
+        mat_j = sl_c["material"][:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+        rho_j = sl_c["density"][:, None, :]
+        rho_j = jnp.where(rho_j > 0, rho_j, 1.0)
+        rho_i = f_c["rho_i_safe"][:, :, None]
+        m_ij = 0.5 * (f_c["mass"][:, :, None] + sl_c["mass"][:, None, :])
+        coef_f = d2c * params.viscosity * m_ij / rho_j / denom * v_xy
+        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
+        coef_b = d2c * params.viscosity_b * m_b / rho_i / denom * v_xy
+        coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
+        acc = ctx.sum_w(coef[..., None] * gradW, mask)
 
-    m_ij = 0.5 * (block(p.mass, B)[:, :, None] + sl["mass"][:, None, :])
-    coef_f = d2c * params.viscosity * m_ij / rho_j / denom * v_xy
-    m_b = params.density0 * sl["rest_volume"][:, None, :]
-    coef_b = d2c * params.viscosity_b * m_b / rho_i_b / denom * v_xy
-    coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
-    s = psum(coef[..., None] * gradW, mask)
+        # wrench accumulated on the RIGID row r (pair symmetry;
+        # base_solver.py:272-278): f_r = +d2c mu_b V_r m_i/rho_i v_xy/den gradW
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+            (f_c["rigid_dyn"] > 0)[:, :, None]
+        c = d2c * params.viscosity_b * f_c["rest_volume"][:, :, None] * \
+            sl_c["mass"][:, None, :] / rho_j / denom * v_xy
+        force_pp = ctx.sum_w(jnp.where(pair_ok[..., None],
+                                       c[..., None] * gradW, 0.0), pair_ok)
+        return dict(acc=acc, force_pp=force_pp)
+
+    rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
+    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
+    out = run_blocked(
+        kern, env,
+        {"vel": vel_slab, "material": sl["material"], "density": sl["density"],
+         "mass": sl["mass"], "rest_volume": sl["rest_volume"]},
+        {"pos": p.pos, "vel": vel, "mass": p.mass, "rest_volume": p.rest_volume,
+         "rho_i_safe": rho_i_safe, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
-    a = jnp.where(fluid_i[:, None], s / params.density0, 0.0)
-
-    # wrench accumulated on the RIGID row r: f_r = +d2 mu_b V_r m_i / rho_i
-    #   * v_xy / denom * gradW(row)  (pair symmetry; base_solver.py:272-278)
-    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-        block(rigid_i_row, B)[:, :, None]
-    c = d2c * params.viscosity_b * block(p.rest_volume, B)[:, :, None] * \
-        sl["mass"][:, None, :] / rho_j / denom * v_xy
-    force_pp = psum(jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0),
-                    pair_ok)
+    a = jnp.where(fluid_i[:, None], out["acc"] / params.density0, 0.0)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
-    torque_pp = pair_cross(arm, force_pp, params.dim)
-    force, torque = reduce_wrench(force_pp, torque_pp, p, params)
+    torque_pp = pair_cross(arm, out["force_pp"], params.dim)
+    force, torque = reduce_wrench(out["force_pp"], torque_pp, p, params)
     return a, force, torque
 
 
@@ -218,44 +241,61 @@ def pressure_acceleration(
     rigid term with rho0, plus fluid->rigid wrench (base_solver.py:135-187).
     ``with_wrench=False`` gives PCISPH's temp acceleration (PCISPH.py:74-107).
     """
-    B = params.pair_block
     if pressure is None:
         pressure = p.pressure
     if pressure_slab is None:
         pressure_slab = sl["pressure"]
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = _gradw(R, d2, params)
-    mat_j = sl["material"][:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+    O = params.max_objects
+    obj = jnp.clip(p.object_id, 0, O - 1)
+    com_self = rigid.com[obj]                       # (N, dim)
+    p_rho2 = pressure / jnp.maximum(p.density * p.density, 1e-12)
+    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
-    p_rho2_i = block(pressure / jnp.maximum(p.density * p.density, 1e-12), B)[:, :, None]
-    rho_j = sl["density"][:, None, :]
-    term_f = sl["mass"][:, None, :] * (
-        p_rho2_i + pressure_slab[:, None, :] / jnp.maximum(rho_j * rho_j, 1e-12))
-    term_b = params.density0 * sl["rest_volume"][:, None, :] * p_rho2_i
-    term = jnp.where(fluid_j, term_f, 0.0) + jnp.where(rigid_j, term_b, 0.0)
-    s = psum(-term[..., None] * gradW, mask)
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = _gradwfn(R, d2, params)
+        mat_j = sl_c["material"][:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+        p_rho2_i = f_c["p_rho2"][:, :, None]
+        rho_j = sl_c["density"][:, None, :]
+        term_f = sl_c["mass"][:, None, :] * (
+            p_rho2_i + sl_c["pressure"][:, None, :] /
+            jnp.maximum(rho_j * rho_j, 1e-12))
+        term_b = params.density0 * sl_c["rest_volume"][:, None, :] * p_rho2_i
+        term = jnp.where(fluid_j, term_f, 0.0) + jnp.where(rigid_j, term_b, 0.0)
+        acc = ctx.sum_w(-term[..., None] * gradW, mask)
+        out = dict(acc=acc)
+
+        if with_wrench:
+            # wrench on rigid row r from fluid i (base_solver.py:178-185):
+            # f = -rho0 V_r (p_i/rho_i^2) m_i gradW(row), arm = x_i - com_r
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+                (f_c["rigid_dyn"] > 0)[:, :, None]
+            p_rho2_n = sl_c["pressure"] / jnp.maximum(sl_c["density"] ** 2, 1e-12)
+            m_n = params.density0 * sl_c["rest_volume"]
+            cpair = -(params.density0 * f_c["rest_volume"])[:, :, None] * \
+                (p_rho2_n * m_n)[:, None, :]
+            f_pairs = jnp.where(pair_ok[..., None], cpair[..., None] * gradW, 0.0)
+            arm_pairs = ctx.pos_slab[:, None, :, :] - \
+                f_c["com_self"][:, :, None, :]
+            out["force_pp"] = ctx.sum_w(f_pairs, pair_ok)
+            out["torque_pp"] = ctx.sum_w(pair_cross(arm_pairs, f_pairs, params.dim),
+                                         pair_ok)
+        return out
+
+    out = run_blocked(
+        kern, env,
+        {"material": sl["material"], "density": sl["density"],
+         "mass": sl["mass"], "rest_volume": sl["rest_volume"],
+         "pressure": pressure_slab},
+        {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume,
+         "rigid_dyn": rigid_dyn, "com_self": com_self}, params)
     fluid_i = p.material == MATERIAL_FLUID
-    a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], s, 0.0)
+    a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], out["acc"], 0.0)
     if not with_wrench:
-        zf = jnp.zeros_like(rigid.force)
-        return a, zf, jnp.zeros_like(rigid.torque)
-
-    # wrench on rigid row r from fluid i: f = -rho0 V_r (p_i/rho_i^2) m_i
-    #   * gradW(row); arm uses the fluid position x_i (base_solver.py:178-185)
-    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    pair_ok = mask & (mat_j == MATERIAL_FLUID) & block(rigid_i_row, B)[:, :, None]
-    p_rho2_n = pressure_slab / jnp.maximum(sl["density"] ** 2, 1e-12)
-    m_n = params.density0 * sl["rest_volume"]
-    c = -(params.density0 * block(p.rest_volume, B))[:, :, None] * \
-        (p_rho2_n * m_n)[:, None, :]
-    f_pairs = jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0)
-    force_pp = psum(f_pairs, pair_ok)
-    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm_pairs = env.pos_slab[:, None, :, :] - block(rigid.com[obj], B)[:, :, None, :]
-    torque_pp = psum(pair_cross(arm_pairs, f_pairs, params.dim), pair_ok)
-    force, torque = reduce_wrench(force_pp, torque_pp, p, params)
+        return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
+    force, torque = reduce_wrench(out["force_pp"], out["torque_pp"], p, params)
     return a, force, torque
 
 

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_NONE, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
+from ..ops.pairs import PairEnv, run_blocked, slab_pack
 from . import common
 
 
@@ -33,14 +33,20 @@ def compute_alpha(p: ParticleState, env: PairEnv, sl: dict,
     """alpha_i = 1 / (|sum_j V_j gradW|^2 + sum_{fluid j} |V_j gradW|^2),
     zero when the denominator is tiny (DFSPH.py:22-62). The squared-norm sum
     only counts fluid neighbors; the vector sum counts all."""
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = common._gradw(R, d2, params)
-    vj = sl["rest_volume"][:, None, :]
-    grad_pj = -vj[..., None] * gradW                      # (NB,B,W,dim)
-    fluid_j = mask & (sl["material"] == MATERIAL_FLUID)[:, None, :]
-    sum_sq = psum(jnp.sum(grad_pj * grad_pj, axis=-1), fluid_j)
-    vec = psum(grad_pj, mask)
-    denom = sum_sq + jnp.sum(vec * vec, axis=-1)
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = common._gradwfn(R, d2, params)
+        grad_pj = -sl_c["rest_volume"][:, None, :, None] * gradW
+        fluid_j = mask & (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
+        sum_sq = ctx.sum_w(jnp.sum(grad_pj * grad_pj, axis=-1), fluid_j)
+        vec = ctx.sum_w(grad_pj, mask)
+        return dict(sum_sq=sum_sq, vec=vec)
+
+    out = run_blocked(kern, env,
+                      {"rest_volume": sl["rest_volume"],
+                       "material": sl["material"]},
+                      {"pos": p.pos}, params)
+    denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
     alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     return jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
 
@@ -50,15 +56,22 @@ def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
                     with_count: bool = False):
     """sum_j V_j (v_i - v_j) . gradW_ij over all neighbors (DFSPH.py:90-101),
     optionally with the neighbor count for the deficiency guard."""
-    B = params.pair_block
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = common._gradw(R, d2, params)
-    dv = block(vel, B)[:, :, None, :] - vel_slab[:, None, :, :]
-    contrib = sl["rest_volume"][:, None, :] * jnp.sum(dv * gradW, axis=-1)
-    s = psum(contrib, mask)
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = common._gradwfn(R, d2, params)
+        dv = f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :]
+        contrib = sl_c["rest_volume"][:, None, :] * jnp.sum(dv * gradW, axis=-1)
+        out = dict(s=ctx.sum_w(contrib, mask))
+        if with_count:
+            out["cnt"] = ctx.sum_w(jnp.ones_like(contrib), mask)
+        return out
+
+    out = run_blocked(kern, env,
+                      {"rest_volume": sl["rest_volume"], "vel": vel_slab},
+                      {"pos": p.pos, "vel": vel}, params)
     if with_count:
-        return s, psum(jnp.ones_like(contrib), mask)
-    return s
+        return out["s"], out["cnt"]
+    return out["s"]
 
 
 def compute_density_derivative(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
@@ -84,42 +97,48 @@ def _correction(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Velocity correction dv and rigid wrench for one corrector iteration
     (DFSPH.py:161-202 / 245-283; both correctors share this form)."""
-    B = params.pair_block
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = common._gradw(R, d2, params)
-    grad_pj = sl["rest_volume"][:, None, :, None] * gradW
-    mat_j = sl["material"][:, None, :]
-    k_i = block(kappa, B)[:, :, None]
-    rho_i = block(jnp.maximum(p.density, 1e-12), B)[:, :, None]
     eps = params.dfsph_eps * params.dt
+    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
-    k_j = kappa_slab[:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
-    rho_j = jnp.maximum(sl["density"], 1e-12)[:, None, :]
-    coef_f = (k_i / rho_i + k_j / rho_j) * params.density0
-    rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
-    coef_b = (k_i / rho_i) * params.density0
-    coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
-    dv = psum(-coef[..., None] * grad_pj, fluid_j | rigid_j)
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = common._gradwfn(R, d2, params)
+        grad_pj = sl_c["rest_volume"][:, None, :, None] * gradW
+        mat_j = sl_c["material"][:, None, :]
+        k_i = f_c["kappa"][:, :, None]
+        rho_i = jnp.maximum(f_c["density"], 1e-12)[:, :, None]
+        k_j = sl_c["kappa"][:, None, :]
+        rho_j = jnp.maximum(sl_c["density"], 1e-12)[:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
+        coef = jnp.where(fluid_j, (k_i / rho_i + k_j / rho_j) * params.density0, 0.0) \
+            + jnp.where(rigid_j, (k_i / rho_i) * params.density0, 0.0)
+        dv = ctx.sum_w(-coef[..., None] * grad_pj, fluid_j | rigid_j)
+
+        # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+            (f_c["rigid_dyn"] > 0)[:, :, None] & (jnp.abs(k_j) > eps)
+        c = -f_c["rest_volume"][:, :, None] * (k_j / rho_j) * \
+            params.density0 / params.dt * \
+            (sl_c["rest_volume"][:, None, :] * params.density0)
+        force_pp = ctx.sum_w(jnp.where(pair_ok[..., None],
+                                       c[..., None] * gradW, 0.0), pair_ok)
+        return dict(dv=dv, force_pp=force_pp)
+
+    if kappa_slab is None:
+        kappa_slab = slab_pack(env, {"kappa": kappa})["kappa"]
+    out = run_blocked(
+        kern, env,
+        {"rest_volume": sl["rest_volume"], "material": sl["material"],
+         "density": sl["density"], "kappa": kappa_slab},
+        {"pos": p.pos, "kappa": kappa, "density": p.density,
+         "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
-    dv = jnp.where(fluid_i[:, None], dv, 0.0)
-
-    # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202):
-    # f = V_r (-gradW_row) (k_i/rho_i) rho0/dt (V_i rho0)
-    rigid_i_row = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
-    k_n = kappa_slab[:, None, :]
-    rho_n = jnp.maximum(sl["density"], 1e-12)[:, None, :]
-    pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-        block(rigid_i_row, B)[:, :, None] & (jnp.abs(k_n) > eps)
-    c = -block(p.rest_volume, B)[:, :, None] * (k_n / rho_n) * \
-        params.density0 / params.dt * \
-        (sl["rest_volume"][:, None, :] * params.density0)
-    force_pp = psum(jnp.where(pair_ok[..., None], c[..., None] * gradW, 0.0),
-                    pair_ok)
+    dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
-    torque_pp = common.pair_cross(arm, force_pp, params.dim)
-    force, torque = common.reduce_wrench(force_pp, torque_pp, p, params)
+    torque_pp = common.pair_cross(arm, out["force_pp"], params.dim)
+    force, torque = common.reduce_wrench(out["force_pp"], torque_pp, p, params)
     return dv, force, torque
 
 

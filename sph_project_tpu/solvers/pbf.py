@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, block, psum, slab_pack
+from ..ops.pairs import PairEnv, run_blocked, slab_pack
 from . import common
 
 LAMBDA_EPS = 100.0          # PBF.py:12
@@ -29,20 +29,18 @@ CORR_K = 0.001              # PBF.py:13
 CORR_DELTA_Q = 0.3          # PBF.py:14
 
 
-def _geom_moving(env, pos, pos_slab, params):
-    """Pair geometry with *moved* positions but the step's stale windows —
-    distances re-tested strictly, like for_all_neighbors on the stale grid."""
-    from ..ops.pairs import pair_geometry
-    return pair_geometry(env, pos, params, pos_slab=pos_slab)
-
-
-def compute_density_moving(p, pos, pos_slab, vol_slab, env, params):
+def compute_density_moving(p, pos, pos_slab, env, sl, params):
     """Density at moved positions (refine calls compute_density per iteration,
-    PBF.py:61-65)."""
-    _, d2, mask = _geom_moving(env, pos, pos_slab, params)
-    W = kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
-                  params.kernel_type)
-    s = psum(vol_slab[:, None, :] * W, mask)
+    PBF.py:61-65), with the step's stale windows like the reference grid."""
+    def kern(ctx, sl_c, f_c):
+        _, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
+        W = kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
+                      params.kernel_type)
+        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+
+    s = run_blocked(kern, env,
+                    {"rest_volume": sl["rest_volume"], "x": pos_slab},
+                    {"pos": p.pos, "x": pos}, params)
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type) + s) * params.density0
     return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
@@ -50,20 +48,26 @@ def compute_density_moving(p, pos, pos_slab, vol_slab, env, params):
 
 def compute_lambda(p, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """lambda_i = -C_i / (sum |grad|^2 + |sum grad|^2 + eps) (PBF.py:68-101)."""
-    R, d2, mask = _geom_moving(env, pos, pos_slab, params)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim,
-                           jnp.sqrt(d2), params.kernel_type)
-    mat_j = sl["material"][:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = mask & (mat_j == MATERIAL_RIGID)
-    B = params.pair_block
-    w_f = sl["mass"][:, None, :] / params.density0
-    w_b = sl["rest_volume"][:, None, :] * block(dens, B)[:, :, None] / params.density0
-    w = jnp.where(fluid_j, w_f, 0.0) + jnp.where(rigid_j, w_b, 0.0)
-    g = w[..., None] * gradW
-    sum_sq = psum(jnp.sum(g * g, axis=-1), fluid_j | rigid_j)
-    vec = psum(g, fluid_j | rigid_j)
-    denom = sum_sq + jnp.sum(vec * vec, axis=-1) + LAMBDA_EPS
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
+        gradW = kernels.grad_W(R, params.support_radius, params.dim,
+                               jnp.sqrt(d2), params.kernel_type)
+        mat_j = sl_c["material"][:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+        w_f = sl_c["mass"][:, None, :] / params.density0
+        w_b = sl_c["rest_volume"][:, None, :] * f_c["dens"][:, :, None] / params.density0
+        w = jnp.where(fluid_j, w_f, 0.0) + jnp.where(rigid_j, w_b, 0.0)
+        g = w[..., None] * gradW
+        sum_sq = ctx.sum_w(jnp.sum(g * g, axis=-1), fluid_j | rigid_j)
+        vec = ctx.sum_w(g, fluid_j | rigid_j)
+        return dict(sum_sq=sum_sq, vec=vec)
+
+    out = run_blocked(kern, env,
+                      {"material": sl["material"], "mass": sl["mass"],
+                       "rest_volume": sl["rest_volume"], "x": pos_slab},
+                      {"pos": p.pos, "x": pos, "dens": dens}, params)
+    denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1) + LAMBDA_EPS
     constraint = dens / params.density0 - 1.0   # deliberately unclamped (PBF.py:77-78)
     lam = -constraint / denom
     return jnp.where(p.material == MATERIAL_FLUID, lam, 0.0)
@@ -71,25 +75,32 @@ def compute_lambda(p, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
 
 def fix_position(p, lam, lam_slab, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """dx_i = sum_j (lam_i + lam_j + s_corr) gradW * m_j / rho0 (PBF.py:104-131)."""
-    B = params.pair_block
-    R, d2, mask = _geom_moving(env, pos, pos_slab, params)
-    dist = jnp.sqrt(d2)
-    gradW = kernels.grad_W(R, params.support_radius, params.dim, dist,
-                           params.kernel_type)
     w_q = kernels.W(jnp.asarray(CORR_DELTA_Q * params.support_radius, jnp.float32),
                     params.support_radius, params.dim, params.kernel_type)
-    ratio = kernels.W(dist, params.support_radius, params.dim,
-                      params.kernel_type) / jnp.maximum(w_q, 1e-30)
-    scorr = -CORR_K * ratio ** 4
-    mat_j = sl["material"][:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = mask & (mat_j == MATERIAL_RIGID)
-    lam_i = block(lam, B)[:, :, None]
-    coef = jnp.where(fluid_j, (lam_i + lam_slab[:, None, :] + scorr) *
-                     sl["mass"][:, None, :], 0.0) + \
-        jnp.where(rigid_j, (2.0 * lam_i + scorr) *
-                  sl["rest_volume"][:, None, :] * params.density0, 0.0)
-    dx = psum(coef[..., None] * gradW, mask) / params.density0
+
+    def kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
+        dist = jnp.sqrt(d2)
+        gradW = kernels.grad_W(R, params.support_radius, params.dim, dist,
+                               params.kernel_type)
+        ratio = kernels.W(dist, params.support_radius, params.dim,
+                          params.kernel_type) / jnp.maximum(w_q, 1e-30)
+        scorr = -CORR_K * ratio ** 4
+        mat_j = sl_c["material"][:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+        lam_i = f_c["lam"][:, :, None]
+        coef = jnp.where(fluid_j, (lam_i + sl_c["lam"][:, None, :] + scorr) *
+                         sl_c["mass"][:, None, :], 0.0) + \
+            jnp.where(rigid_j, (2.0 * lam_i + scorr) *
+                      sl_c["rest_volume"][:, None, :] * params.density0, 0.0)
+        return ctx.sum_w(coef[..., None] * gradW, mask)
+
+    dx = run_blocked(kern, env,
+                     {"material": sl["material"], "mass": sl["mass"],
+                      "rest_volume": sl["rest_volume"], "x": pos_slab,
+                      "lam": lam_slab},
+                     {"pos": p.pos, "x": pos, "lam": lam}, params) / params.density0
     return jnp.where((p.material == MATERIAL_FLUID)[:, None], dx, 0.0)
 
 
@@ -108,8 +119,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
 
     for _ in range(params.pbf_iters):                      # fixed 5 (PBF.py:61-65)
         moved = slab_pack(env, {"x": p.pos})
-        dens = compute_density_moving(p, p.pos, moved["x"],
-                                      sl["rest_volume"], env, params)
+        dens = compute_density_moving(p, p.pos, moved["x"], env, sl, params)
         lam = compute_lambda(p, dens, p.pos, moved["x"], env, sl, params)
         lam_slab = slab_pack(env, {"l": lam})["l"]
         dx = fix_position(p, lam, lam_slab, dens, p.pos, moved["x"], env, sl, params)

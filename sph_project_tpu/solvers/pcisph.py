@@ -21,7 +21,7 @@ import numpy as np
 from ..core.params import MATERIAL_FLUID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
+from ..ops.pairs import PairEnv, run_blocked, slab_pack
 from . import common
 
 
@@ -60,16 +60,22 @@ def _density_star_predicted(p, pred_pos, pred_slab, env: PairEnv, sl: dict,
     """rho* from predicted fluid positions; rigid neighbors keep their actual
     positions (PCISPH.py:48-62). Neighbor candidacy still comes from the
     original-position windows, like the reference's for_all_neighbors."""
-    B = params.pair_block
-    _, d2_orig, mask = pair_geometry(env, p.pos, params)
-    fluid_j = (sl["material"] == MATERIAL_FLUID)[:, None, :]
-    pos_j = jnp.where(fluid_j[..., None], pred_slab[:, None, :, :],
-                      env.pos_slab[:, None, :, :])
-    Rp = block(pred_pos, B)[:, :, None, :] - pos_j
-    d2p = jnp.sum(Rp * Rp, axis=-1)
-    W = kernels.W(jnp.sqrt(d2p), params.support_radius, params.dim,
-                  params.kernel_type)
-    ratio = psum(sl["rest_volume"][:, None, :] * W, mask)  # rho*/rho0, no self
+    def kern(ctx, sl_c, f_c):
+        _, _, mask = ctx.geometry(params)          # candidacy: original pos
+        fluid_j = (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
+        pos_j = jnp.where(fluid_j[..., None], sl_c["pred"][:, None, :, :],
+                          ctx.pos_slab[:, None, :, :])
+        Rp = f_c["pred"][:, :, None, :] - pos_j
+        d2p = jnp.sum(Rp * Rp, axis=-1)
+        W = kernels.W(jnp.sqrt(d2p), params.support_radius, params.dim,
+                      params.kernel_type)
+        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+
+    ratio = run_blocked(
+        kern, env,
+        {"material": sl["material"], "rest_volume": sl["rest_volume"],
+         "pred": pred_slab},
+        {"pos": p.pos, "pred": pred_pos}, params)
     fluid_i = p.material == MATERIAL_FLUID
     star = jnp.where(fluid_i, ratio * params.density0, 0.0)
     nf = jnp.maximum(jnp.sum(fluid_i), 1)

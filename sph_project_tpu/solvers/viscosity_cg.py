@@ -16,7 +16,7 @@ Solver for SPH Fluids":
 
 TPU-native: the CG driver is a ``lax.while_loop`` with on-device dot products
 (the reference reads the residual back to the host every iteration); each
-matvec is one slab re-pack of the search direction plus a fused dense pair
+matvec is one slab re-pack of the search direction plus a chunked dense pair
 reduction — the A_ij structure (scalar c_ij times gradW⊗R) means no
 (pairs, 3, 3) matrices ever materialize.
 """
@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
-from ..ops.pairs import PairEnv, block, pair_geometry, psum, slab_pack
+from ..ops.pairs import PairEnv, run_blocked, slab_pack
 from . import common
 
 
@@ -40,49 +40,70 @@ def implicit_viscosity_solve(
     """Solve (I - dt/rho0 A) v_new = b, then fold the result into the
     acceleration. Returns (particles with updated acc, rigid with wrench,
     state with next warm start)."""
-    B = params.pair_block
     fluid_i = p.material == MATERIAL_FLUID
     fmask = fluid_i[:, None]
     dt_rho = params.dt / params.density0
     d2c = 2.0 * (params.dim + 2)
+    rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
 
-    R, d2, mask = pair_geometry(env, p.pos, params)
-    gradW = common._gradw(R, d2, params)
-    denom = d2 + 0.01 * params.support_radius ** 2
-    mat_j = sl["material"][:, None, :]
-    fluid_j = mask & (mat_j == MATERIAL_FLUID)
-    rigid_j = mask & (mat_j == MATERIAL_RIGID)
-    rho_j = jnp.maximum(sl["density"], 1e-12)[:, None, :]
-    rho_i = block(jnp.maximum(p.density, 1e-12), B)[:, :, None]
-    m_ij = 0.5 * (block(p.mass, B)[:, :, None] + sl["mass"][:, None, :])
-    m_b = params.density0 * sl["rest_volume"][:, None, :]
-    # c such that A_ij = c * (gradW ⊗ R) (base_solver.py:348-371)
-    c_f = -d2c * params.viscosity * m_ij / rho_j / denom
-    c_b = -d2c * params.viscosity_b * m_b / rho_i / denom
-    c = jnp.where(fluid_j, c_f, 0.0) + jnp.where(rigid_j, c_b, 0.0)
+    def _cij(ctx, sl_c, f_c, d2, mask):
+        """A_ij = c * (gradW ⊗ R) coefficient (base_solver.py:348-371)."""
+        denom = d2 + 0.01 * params.support_radius ** 2
+        mat_j = sl_c["material"][:, None, :]
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+        rho_j = jnp.maximum(sl_c["density"], 1e-12)[:, None, :]
+        rho_i = f_c["rho_i"][:, :, None]
+        m_ij = 0.5 * (f_c["mass"][:, :, None] + sl_c["mass"][:, None, :])
+        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
+        c_f = -d2c * params.viscosity * m_ij / rho_j / denom
+        c_b = -d2c * params.viscosity_b * m_b / rho_i / denom
+        return (jnp.where(fluid_j, c_f, 0.0) + jnp.where(rigid_j, c_b, 0.0),
+                fluid_j, rigid_j)
 
-    # --- preconditioner D_i = I - dt/rho0 * sum_j (-A_ij) ------------------
-    outer = gradW[..., :, None] * R[..., None, :]          # (NB,B,W,d,d)
-    A_sum = psum(c[..., None, None] * outer, mask)         # (N, d, d)
+    base_slabs = {"material": sl["material"], "density": sl["density"],
+                  "mass": sl["mass"], "rest_volume": sl["rest_volume"],
+                  "vel": sl["vel"]}
+    base_fields = {"pos": p.pos, "rho_i": rho_i_safe, "mass": p.mass}
+
+    # --- preconditioner D_i + rhs b in one pass ------------------------------
+    def prep_kern(ctx, sl_c, f_c):
+        R, d2, mask = ctx.geometry(params)
+        gradW = common._gradwfn(R, d2, params)
+        c, fluid_j, rigid_j = _cij(ctx, sl_c, f_c, d2, mask)
+        outer = gradW[..., :, None] * R[..., None, :]
+        A_sum = ctx.sum_w(c[..., None, None] * outer, mask)
+        # rigid neighbors move b (base_solver.py:334-346)
+        denom = d2 + 0.01 * params.support_radius ** 2
+        v_dot_R = jnp.sum(sl_c["vel"][:, None, :, :] * R, axis=-1)
+        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
+        cb = d2c * params.viscosity_b * m_b / f_c["rho_i"][:, :, None] * \
+            v_dot_R / denom
+        b_rigid = ctx.sum_w(jnp.where(rigid_j[..., None],
+                                      cb[..., None] * gradW, 0.0), rigid_j)
+        return dict(A_sum=A_sum, b_rigid=b_rigid)
+
+    prep = run_blocked(prep_kern, env, base_slabs, base_fields, params)
     eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
-    D = eye + dt_rho * A_sum
+    D = eye + dt_rho * prep["A_sum"]
     Dinv = jnp.linalg.inv(D)
     Dinv = jnp.where(fmask[..., None], Dinv, eye)
-
-    # --- right-hand side (rigid neighbors move b; base_solver.py:334-346) ---
-    v_dot_R = jnp.sum(sl["vel"][:, None, :, :] * R, axis=-1)
-    cb_b = d2c * params.viscosity_b * m_b / rho_i * v_dot_R / denom
-    b_rigid = psum(jnp.where(rigid_j[..., None], cb_b[..., None] * gradW, 0.0),
-                   rigid_j)
-    b = jnp.where(fmask, p.vel - params.dt * b_rigid / params.density0, 0.0)
+    b = jnp.where(fmask, p.vel - params.dt * prep["b_rigid"] / params.density0, 0.0)
 
     def matvec(x):
         """(Ax)_i = x_i + dt/rho0 * Dinv_i sum_{fluid j} (-A_ij) x_j
         (base_solver.py:373-391; only fluid neighbors off-diagonal)."""
         xs = slab_pack(env, {"x": x})["x"]
-        s = jnp.sum(R * xs[:, None, :, :], axis=-1)        # R . x_j
-        contrib = jnp.where(fluid_j, -c * s, 0.0)
-        acc = psum(contrib[..., None] * gradW, fluid_j)
+
+        def kern(ctx, sl_c, f_c):
+            R, d2, mask = ctx.geometry(params)
+            gradW = common._gradwfn(R, d2, params)
+            c, fluid_j, _ = _cij(ctx, sl_c, f_c, d2, mask)
+            s = jnp.sum(R * sl_c["x"][:, None, :, :], axis=-1)
+            contrib = jnp.where(fluid_j, -c * s, 0.0)
+            return ctx.sum_w(contrib[..., None] * gradW, fluid_j)
+
+        acc = run_blocked(kern, env, dict(base_slabs, x=xs), base_fields, params)
         out = x + dt_rho * jnp.einsum("nij,nj->ni", Dinv, acc)
         return jnp.where(fmask, out, 0.0)
 
