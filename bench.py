@@ -63,7 +63,7 @@ def build(n_target: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=200_000, help="target particle count")
+    ap.add_argument("--n", type=int, default=400_000, help="target particle count")
     ap.add_argument("--chunk", type=int, default=25, help="steps per scan dispatch")
     ap.add_argument("--reps", type=int, default=3, help="timed scan dispatches")
     ap.add_argument("--verbose", action="store_true")

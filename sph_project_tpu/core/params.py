@@ -78,8 +78,11 @@ class SimParams:
     pair_block: int = 256                  # B: particles per block
     pair_slab: int = 512                   # S: window cap per stencil segment
     pair_chunk: int = 8                    # blocks per lax.map chunk (memory cap)
+    pair_wtile: int = 768                  # window-axis tile for the Pallas path
+    pair_backend: str = "pallas"           # "pallas" on TPU, "jax" fallback
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
+    has_rigid: bool = True                 # static: scene contains rigid particles
     contact_stiffness: float = 1e5
     contact_damping: float = 0.1
     wall_friction: float = 0.1

@@ -88,6 +88,34 @@ def grad_W(R: jnp.ndarray, h: float, dim: int,
     return spiky_grad_W(R, h, dist)
 
 
+def grad_W_coef(dist: jnp.ndarray, h: float, dim: int,
+                kind: str = "cubic") -> jnp.ndarray:
+    """Scalar c(|R|) with gradW = c * R — the component form used by the
+    pair-kernel executors (ops/pair_exec.py)."""
+    if kind == "cubic":
+        if dim == 1:
+            k = 4.0 / 3.0
+        elif dim == 2:
+            k = 40.0 / 7.0 / math.pi
+        else:
+            k = 8.0 / math.pi
+        k = 6.0 * k / h ** dim
+        q = dist / h
+        safe = jnp.maximum(dist, 1e-12)
+        c_near = k * q * (3.0 * q - 2.0)
+        one_q = 1.0 - q
+        c_far = -k * one_q * one_q
+        c = jnp.where(q <= 0.5, c_near, c_far)
+        c = jnp.where((dist > 1e-5) & (q <= 1.0), c, 0.0)
+        return c / (safe * h)
+    # spiky (PBF.py:34-47)
+    fac = -45.0 / math.pi
+    safe = jnp.maximum(dist, 1e-12)
+    x = (h - dist) / (h * h * h)
+    c = fac * x * x / safe
+    return jnp.where((dist > 0) & (dist < h), c, 0.0)
+
+
 def poly6_W(r: jnp.ndarray, h: float) -> jnp.ndarray:
     """PBF poly6 kernel (PBF.py:21-32). Note: zero at r == 0, like the reference."""
     fac = 315.0 / 64.0 / math.pi

@@ -61,8 +61,8 @@ class PairEnv(struct.PyTreeNode):
 
 
 def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
-                       params: SimParams, margin: float = 1.6,
-                       round_to: int = 128) -> int:
+                       params: SimParams, margin: float = 1.4,
+                       round_to: int = 256) -> int:
     """Host-side estimate of the needed window cap S for a particle set.
 
     Mirrors make_pair_env's window computation in numpy on the initial state;
@@ -75,8 +75,11 @@ def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
     dim = pos.shape[1]
     B = params.pair_block
     g = params.grid_num
-    start_arr = np.asarray(params.domain_start)
-    coords = np.floor((pos - start_arr) / params.support_radius).astype(np.int64)
+    # bit-match the on-device f32 binning (lattice particles sit exactly on
+    # cell boundaries; f64 binning here would disagree with the real sort)
+    start_arr = np.asarray(params.domain_start, np.float32)
+    q = (pos.astype(np.float32) - start_arr) / np.float32(params.support_radius)
+    coords = np.floor(q).astype(np.int64)
     coords = np.clip(coords, 0, np.asarray(g) - 1)
     if dim == 3:
         flat = (coords[:, 0] * g[1] + coords[:, 1]) * g[2] + coords[:, 2]
@@ -144,38 +147,22 @@ def slab(env: PairEnv, field: jnp.ndarray) -> jnp.ndarray:
 
 
 def slab_pack(env: PairEnv, fields: dict) -> dict:
-    """Slab-gather MANY fields with ONE gather call.
+    """Slab-gather many fields (one contiguous-window gather per component).
 
-    Slab cost on TPU is ~1us per *slice* and free in slice width, so packing
-    every needed field into an (N, F) matrix and gathering (S, F) slices
-    makes a whole pass cost one slab instead of one per field. Int fields are
-    carried through f32 (exact below 2^24) and cast back.
+    Measured on v5e: slab gathers cost ~1us per slice regardless of width,
+    but packing fields into an (N, F) matrix first costs far more than the
+    gathers save (minor-dim interleave writes are pathological on TPU), so
+    each component gathers separately from its natural (N,) layout.
     """
-    S = env.slab_width // env.starts.shape[1]
-    nb, ns = env.starts.shape
-    cols, meta = [], []
+    res = {}
     for name, f in fields.items():
         dt = f.dtype
         if f.ndim == 1:
-            cols.append(f.astype(jnp.float32)[:, None])
-            meta.append((name, dt, 1))
+            g = _slab_gather_1d(f.astype(jnp.float32) if dt != jnp.float32 else f,
+                                env.starts, env.slab_width // env.starts.shape[1])
+            res[name] = g.astype(dt) if dt != jnp.float32 else g
         else:
-            cols.append(f.astype(jnp.float32))
-            meta.append((name, dt, f.shape[1]))
-    packed = jnp.concatenate(cols, axis=1)                 # (N, F)
-    F = packed.shape[1]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3), collapsed_slice_dims=(), start_index_map=(0,))
-    out = jax.lax.gather(packed, env.starts[..., None], dn, (S, F),
-                         mode=jax.lax.GatherScatterMode.CLIP)
-    out = out.reshape(nb, ns * S, F)
-    res, ofs = {}, 0
-    for name, dt, width in meta:
-        sl_ = out[:, :, ofs:ofs + width]
-        if width == 1:
-            sl_ = sl_[:, :, 0]
-        res[name] = sl_.astype(dt) if dt != jnp.float32 else sl_
-        ofs += width
+            res[name] = slab(env, f)
     return res
 
 
@@ -226,8 +213,16 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
         row = ncxy[..., 0]
     flat_lo = row * g[-1] + zlo[:, None]
     flat_hi = row * g[-1] + zhi[:, None] + 1
-    start = jnp.searchsorted(cells_sorted, flat_lo.reshape(-1)).reshape(n, ns)
-    end = jnp.searchsorted(cells_sorted, flat_hi.reshape(-1)).reshape(n, ns)
+    # Cell-offset table instead of searchsorted: a binary search per query
+    # costs log(N) random gathers (~120 ms/step at 100k measured); a
+    # histogram + cumsum + one table gather is ~20x cheaper.
+    ones = jnp.ones_like(cells_sorted, dtype=jnp.int32)
+    counts = jax.ops.segment_sum(ones, cells_sorted,
+                                 num_segments=params.num_cells + 1)
+    table = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                             jnp.cumsum(counts).astype(jnp.int32)])
+    start = table[jnp.clip(flat_lo, 0, params.num_cells)]
+    end = table[jnp.clip(flat_hi, 0, params.num_cells + 1)]
     start = jnp.where(seg_ok, start, n).astype(jnp.int32)
     end = jnp.where(seg_ok, end, 0).astype(jnp.int32)
 

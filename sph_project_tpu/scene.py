@@ -218,6 +218,10 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
                   (127, 127, 127), False)
 
     n_particles = sum(c["pos"].shape[0] for c in chunks)
+    kw["has_rigid"] = any(c["material"] == MATERIAL_RIGID for c in chunks) or \
+        any(c["entry"] > 0 for c in chunks)   # emitter flips fluid->rigid too
+    if cfg.get_cfg("gravitationUpper") is not None:
+        kw["has_rigid"] = True
     params = make_params(n_particles, **kw)
 
     if "pair_slab" not in param_overrides:

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 
 # slab keys used by the standard per-step passes
 STATIC_SLAB_KEYS = ("vel", "mass", "density", "pressure", "rest_volume",
@@ -72,9 +73,19 @@ def reduce_wrench(
     return force, torque
 
 
-def _wfn(d2, params):
+def _w_d2(d2, params):
     return kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
                      params.kernel_type)
+
+
+def _gw_coef(d2, params):
+    return kernels.grad_W_coef(jnp.sqrt(d2), params.support_radius,
+                               params.dim, params.kernel_type)
+
+
+# vector-form helpers for the ops still on the run_blocked chunk path
+def _wfn(d2, params):
+    return _w_d2(d2, params)
 
 
 def _gradwfn(R, d2, params):
@@ -91,20 +102,20 @@ def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
                                   pos_slab=None) -> ParticleState:
     """V_b = 1 / sum_k W_bk over *same-object* neighbors (plus self W(0));
     mass = rho0 * V_b; rigid particles at/below g_upper only
-    (base_solver.py:105-123). Pass a fresh ``pos_slab`` when called after
-    positions moved (the step tail)."""
-    def kern(ctx, sl_c, f_c):
-        ps = sl_c["__pos__"] if "__pos__" in sl_c else ctx.pos_slab
-        R, d2, mask = ctx.geometry(params, pos_slab=ps)
-        same = sl_c["object_id"][:, None, :] == f_c["object_id"][:, :, None]
-        W = _wfn(d2, params)
-        return ctx.sum_w(jnp.where(same, W, 0.0), mask)
+    (base_solver.py:105-123). Pass fresh slabbed positions via ``pos_slab``
+    (an (NB, W, dim) array) when called after positions moved."""
+    def kern(cx):
+        pos_key = "posf" if cx.has_slab("posf0") else "pos"
+        _, d2, mask = cx.geometry(pos_blk="pos", pos_slab=pos_key)
+        same = cx.slab("object_id") == cx.blk("object_id")
+        W = _w_d2(d2, params)
+        return {"s": cx.sum(cx.where(same, W, 0.0), mask)}
 
     slabs = {"object_id": sl["object_id"]}
     if pos_slab is not None:
-        slabs["__pos__"] = pos_slab
-    s = run_blocked(kern, env, slabs,
-                    {"pos": p.pos, "object_id": p.object_id}, params)
+        slabs["posf"] = pos_slab
+    s = pair_exec.run(kern, env, slabs,
+                      {"pos": p.pos, "object_id": p.object_id}, params)["s"]
     denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + s
     vol = 1.0 / jnp.maximum(denom, 1e-30)
     sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper)
@@ -122,13 +133,12 @@ def compute_density(p: ParticleState, env: PairEnv, sl: dict,
                     params: SimParams) -> jnp.ndarray:
     """rho_i = rho0 * (V_i W(0) + sum_j V_j W_ij) for fluid particles
     (base_solver.py:521-541)."""
-    def kern(ctx, sl_c, f_c):
-        _, d2, mask = ctx.geometry(params)
-        W = _wfn(d2, params)
-        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+    def kern(cx):
+        _, d2, mask = cx.geometry()
+        return {"s": cx.sum(cx.slab("rest_volume") * _w_d2(d2, params), mask)}
 
-    s = run_blocked(kern, env, {"rest_volume": sl["rest_volume"]},
-                    {"pos": p.pos}, params)
+    s = pair_exec.run(kern, env, {"rest_volume": sl["rest_volume"]},
+                      {"pos": p.pos}, params)["s"]
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type) + s) * params.density0
     return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
@@ -150,20 +160,22 @@ def surface_tension_acceleration(p: ParticleState, env: PairEnv, sl: dict,
     """Cohesion-style surface tension over fluid neighbors
     (base_solver.py:209-229)."""
     diam = params.particle_diameter
-    w_d = kernels.W(jnp.asarray(diam, jnp.float32), params.support_radius,
-                    params.dim, params.kernel_type)
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        W = jnp.where(d2 > diam * diam, _wfn(d2, params), w_d)
-        valid = mask & (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
-        contrib = (sl_c["mass"][:, None, :] * W)[..., None] * R
-        return ctx.sum_w(contrib, valid)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        # W(diameter) is a compile-time constant; built inside the kernel so
+        # the Pallas trace doesn't close over a traced scalar
+        w_d = kernels.W(jnp.float32(diam), params.support_radius,
+                        params.dim, params.kernel_type)
+        W = cx.where(d2 > diam * diam, _w_d2(d2, params), w_d)
+        valid = mask & (cx.slab("material") == MATERIAL_FLUID)
+        mW = cx.slab("mass") * W
+        return {f"s{d}": cx.sum(mW * R[d], valid) for d in range(params.dim)}
 
-    s = run_blocked(kern, env,
-                    {"material": sl["material"], "mass": sl["mass"]},
-                    {"pos": p.pos}, params)
-    a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * s
+    out = pair_exec.run(kern, env,
+                        {"material": sl["material"], "mass": sl["mass"]},
+                        {"pos": p.pos}, params)
+    a = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["s"]
     return jnp.where((p.material == MATERIAL_FLUID)[:, None], a, 0.0)
 
 
@@ -179,39 +191,40 @@ def viscosity_acceleration_standard(
     d2c = 2.0 * (params.dim + 2)
     if vel_slab is None:
         vel_slab = sl["vel"]
+    dim = params.dim
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = _gradwfn(R, d2, params)
-        v_xy = jnp.sum((f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :])
-                       * R, axis=-1)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = _gw_coef(d2, params)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
         denom = d2 + 0.01 * params.support_radius ** 2
-        mat_j = sl_c["material"][:, None, :]
+        mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        rho_j = sl_c["density"][:, None, :]
-        rho_j = jnp.where(rho_j > 0, rho_j, 1.0)
-        rho_i = f_c["rho_i_safe"][:, :, None]
-        m_ij = 0.5 * (f_c["mass"][:, :, None] + sl_c["mass"][:, None, :])
+        rho_j = cx.slab("density")
+        rho_j = cx.where(rho_j > 0, rho_j, 1.0)
+        m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
         coef_f = d2c * params.viscosity * m_ij / rho_j / denom * v_xy
-        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
-        coef_b = d2c * params.viscosity_b * m_b / rho_i / denom * v_xy
-        coef = jnp.where(fluid_j, coef_f, 0.0) + jnp.where(rigid_j, coef_b, 0.0)
-        acc = ctx.sum_w(coef[..., None] * gradW, mask)
+        m_b = params.density0 * cx.slab("rest_volume")
+        coef_b = d2c * params.viscosity_b * m_b / cx.blk("rho_i_safe") / denom * v_xy
+        coef = (cx.where(fluid_j, coef_f, 0.0) +
+                cx.where(rigid_j, coef_b, 0.0)) * gw
+        out = {f"acc{d}": cx.sum(coef * R[d], mask) for d in range(dim)}
 
         # wrench accumulated on the RIGID row r (pair symmetry;
-        # base_solver.py:272-278): f_r = +d2c mu_b V_r m_i/rho_i v_xy/den gradW
-        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-            (f_c["rigid_dyn"] > 0)[:, :, None]
-        c = d2c * params.viscosity_b * f_c["rest_volume"][:, :, None] * \
-            sl_c["mass"][:, None, :] / rho_j / denom * v_xy
-        force_pp = ctx.sum_w(jnp.where(pair_ok[..., None],
-                                       c[..., None] * gradW, 0.0), pair_ok)
-        return dict(acc=acc, force_pp=force_pp)
+        # base_solver.py:272-278)
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
+        c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
+            cx.slab("mass") / rho_j / denom * v_xy * gw
+        c = cx.where(pair_ok, c, 0.0)
+        for d in range(dim):
+            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        return out
 
     rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
-    out = run_blocked(
+    out = pair_exec.run(
         kern, env,
         {"vel": vel_slab, "material": sl["material"], "density": sl["density"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"]},
@@ -221,8 +234,78 @@ def viscosity_acceleration_standard(
     a = jnp.where(fluid_i[:, None], out["acc"] / params.density0, 0.0)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
-    torque_pp = pair_cross(arm, out["force_pp"], params.dim)
-    force, torque = reduce_wrench(out["force_pp"], torque_pp, p, params)
+    torque_pp = pair_cross(arm, out["fpp"], params.dim)
+    force, torque = reduce_wrench(out["fpp"], torque_pp, p, params)
+    return a, force, torque
+
+
+def nonpressure_fused(
+    p: ParticleState, rigid: RigidState, env: PairEnv, sl: dict,
+    params: SimParams,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Surface tension + standard viscosity (+ viscosity rigid wrench) in a
+    single pair pass — physics identical to calling the two ops separately."""
+    d2c = 2.0 * (params.dim + 2)
+    diam = params.particle_diameter
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = _gw_coef(d2, params)
+        mat_j = cx.slab("material")
+        fluid_j = mask & (mat_j == MATERIAL_FLUID)
+        rigid_j = mask & (mat_j == MATERIAL_RIGID)
+
+        # surface tension (fluid neighbors only; base_solver.py:209-229)
+        w_dm = kernels.W(jnp.float32(diam), params.support_radius,
+                         params.dim, params.kernel_type)
+        Wst = cx.where(d2 > diam * diam, _w_d2(d2, params), w_dm)
+        mW = cx.slab("mass") * Wst
+        out = {f"st{d}": cx.sum(cx.where(fluid_j, mW * R[d], 0.0), fluid_j)
+               for d in range(dim)}
+
+        # standard viscosity (base_solver.py:231-278)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
+        denom = d2 + 0.01 * params.support_radius ** 2
+        inv_denom = 1.0 / denom
+        rho_j = cx.slab("density")
+        rho_j = cx.where(rho_j > 0, rho_j, 1.0)
+        m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
+        coef_f = d2c * params.viscosity * m_ij / rho_j * inv_denom * v_xy
+        m_b = params.density0 * cx.slab("rest_volume")
+        coef_b = d2c * params.viscosity_b * m_b * cx.blk("inv_rho_i") * \
+            inv_denom * v_xy
+        coef = (cx.where(fluid_j, coef_f, 0.0) +
+                cx.where(rigid_j, coef_b, 0.0)) * gw
+        for d in range(dim):
+            out[f"acc{d}"] = cx.sum(coef * R[d], mask)
+
+        # viscosity wrench on the rigid row (base_solver.py:272-278)
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
+        c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
+            cx.slab("mass") / rho_j * inv_denom * v_xy * gw
+        c = cx.where(pair_ok, c, 0.0)
+        for d in range(dim):
+            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        return out
+
+    inv_rho_i = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
+    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
+    out = pair_exec.run(
+        kern, env,
+        {"vel": sl["vel"], "material": sl["material"], "density": sl["density"],
+         "mass": sl["mass"], "rest_volume": sl["rest_volume"]},
+        {"pos": p.pos, "vel": p.vel, "mass": p.mass,
+         "rest_volume": p.rest_volume, "inv_rho_i": inv_rho_i,
+         "rigid_dyn": rigid_dyn}, params)
+    fluid_i = (p.material == MATERIAL_FLUID)[:, None]
+    a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
+    a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm = p.pos - rigid.com[obj]
+    torque_pp = pair_cross(arm, out["fpp"], params.dim)
+    force, torque = reduce_wrench(out["fpp"], torque_pp, p, params)
     return a, force, torque
 
 
@@ -245,57 +328,59 @@ def pressure_acceleration(
         pressure = p.pressure
     if pressure_slab is None:
         pressure_slab = sl["pressure"]
+    dim = params.dim
     O = params.max_objects
     obj = jnp.clip(p.object_id, 0, O - 1)
-    com_self = rigid.com[obj]                       # (N, dim)
+    com_self = rigid.com[obj]
     p_rho2 = pressure / jnp.maximum(p.density * p.density, 1e-12)
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = _gradwfn(R, d2, params)
-        mat_j = sl_c["material"][:, None, :]
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = _gw_coef(d2, params)
+        mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        p_rho2_i = f_c["p_rho2"][:, :, None]
-        rho_j = sl_c["density"][:, None, :]
-        term_f = sl_c["mass"][:, None, :] * (
-            p_rho2_i + sl_c["pressure"][:, None, :] /
-            jnp.maximum(rho_j * rho_j, 1e-12))
-        term_b = params.density0 * sl_c["rest_volume"][:, None, :] * p_rho2_i
-        term = jnp.where(fluid_j, term_f, 0.0) + jnp.where(rigid_j, term_b, 0.0)
-        acc = ctx.sum_w(-term[..., None] * gradW, mask)
-        out = dict(acc=acc)
+        p_rho2_i = cx.blk("p_rho2")
+        rho_j = cx.slab("density")
+        term_f = cx.slab("mass") * (
+            p_rho2_i + cx.slab("pressure") / jnp.maximum(rho_j * rho_j, 1e-12))
+        term_b = params.density0 * cx.slab("rest_volume") * p_rho2_i
+        term = (cx.where(fluid_j, term_f, 0.0) +
+                cx.where(rigid_j, term_b, 0.0)) * gw
+        out = {f"acc{d}": cx.sum(-term * R[d], mask) for d in range(dim)}
 
         if with_wrench:
             # wrench on rigid row r from fluid i (base_solver.py:178-185):
-            # f = -rho0 V_r (p_i/rho_i^2) m_i gradW(row), arm = x_i - com_r
-            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                (f_c["rigid_dyn"] > 0)[:, :, None]
-            p_rho2_n = sl_c["pressure"] / jnp.maximum(sl_c["density"] ** 2, 1e-12)
-            m_n = params.density0 * sl_c["rest_volume"]
-            cpair = -(params.density0 * f_c["rest_volume"])[:, :, None] * \
-                (p_rho2_n * m_n)[:, None, :]
-            f_pairs = jnp.where(pair_ok[..., None], cpair[..., None] * gradW, 0.0)
-            arm_pairs = ctx.pos_slab[:, None, :, :] - \
-                f_c["com_self"][:, :, None, :]
-            out["force_pp"] = ctx.sum_w(f_pairs, pair_ok)
-            out["torque_pp"] = ctx.sum_w(pair_cross(arm_pairs, f_pairs, params.dim),
-                                         pair_ok)
+            # arm uses the FLUID position x_i = x_r - R
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
+            p_rho2_n = cx.slab("pressure") / \
+                jnp.maximum(cx.slab("density") ** 2, 1e-12)
+            m_n = params.density0 * cx.slab("rest_volume")
+            c = -(params.density0 * cx.blk("rest_volume")) * p_rho2_n * m_n * gw
+            f = [cx.where(pair_ok, c * R[d], 0.0) for d in range(dim)]
+            arm = [cx.blk(f"pos{d}") - R[d] - cx.blk(f"com{d}")
+                   for d in range(dim)]
+            tq = cx.cross(arm, f)
+            for d in range(dim):
+                out[f"fpp{d}"] = cx.sum(f[d], pair_ok)
+            for d in range(len(tq)):
+                out[f"tpp{d}"] = cx.sum(tq[d], pair_ok)
         return out
 
-    out = run_blocked(
+    out = pair_exec.run(
         kern, env,
         {"material": sl["material"], "density": sl["density"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
          "pressure": pressure_slab},
         {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume,
-         "rigid_dyn": rigid_dyn, "com_self": com_self}, params)
+         "rigid_dyn": rigid_dyn, "com": com_self}, params)
     fluid_i = p.material == MATERIAL_FLUID
     a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], out["acc"], 0.0)
     if not with_wrench:
         return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
-    force, torque = reduce_wrench(out["force_pp"], out["torque_pp"], p, params)
+    tpp = out["tpp"] if out["tpp"].ndim == 2 else out["tpp"][:, None]
+    force, torque = reduce_wrench(out["fpp"], tpp, p, params)
     return a, force, torque
 
 

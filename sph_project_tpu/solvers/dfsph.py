@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_NONE, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 
@@ -33,22 +34,57 @@ def compute_alpha(p: ParticleState, env: PairEnv, sl: dict,
     """alpha_i = 1 / (|sum_j V_j gradW|^2 + sum_{fluid j} |V_j gradW|^2),
     zero when the denominator is tiny (DFSPH.py:22-62). The squared-norm sum
     only counts fluid neighbors; the vector sum counts all."""
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        grad_pj = -sl_c["rest_volume"][:, None, :, None] * gradW
-        fluid_j = mask & (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
-        sum_sq = ctx.sum_w(jnp.sum(grad_pj * grad_pj, axis=-1), fluid_j)
-        vec = ctx.sum_w(grad_pj, mask)
-        return dict(sum_sq=sum_sq, vec=vec)
+    dim = params.dim
 
-    out = run_blocked(kern, env,
-                      {"rest_volume": sl["rest_volume"],
-                       "material": sl["material"]},
-                      {"pos": p.pos}, params)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        c = -cx.slab("rest_volume") * gw                    # grad_pj = c * R
+        fluid_j = mask & (cx.slab("material") == MATERIAL_FLUID)
+        out = {"sum_sq": cx.sum(c * c * d2, fluid_j)}
+        for d in range(dim):
+            out[f"vec{d}"] = cx.sum(c * R[d], mask)
+        return out
+
+    out = pair_exec.run(kern, env,
+                        {"rest_volume": sl["rest_volume"],
+                         "material": sl["material"]},
+                        {"pos": p.pos}, params)
     denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
     alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     return jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
+
+
+def density_and_alpha(p: ParticleState, env: PairEnv, sl: dict,
+                      params: SimParams):
+    """Fused density summation + alpha factor (one pair pass instead of two;
+    physics identical to compute_density + compute_alpha)."""
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        W = common._w_d2(d2, params)
+        vj = cx.slab("rest_volume")
+        gw = common._gw_coef(d2, params)
+        c = -vj * gw
+        fluid_j = mask & (cx.slab("material") == MATERIAL_FLUID)
+        out = {"s": cx.sum(vj * W, mask),
+               "sum_sq": cx.sum(c * c * d2, fluid_j)}
+        for d in range(dim):
+            out[f"vec{d}"] = cx.sum(c * R[d], mask)
+        return out
+
+    out = pair_exec.run(kern, env,
+                        {"rest_volume": sl["rest_volume"],
+                         "material": sl["material"]},
+                        {"pos": p.pos}, params)
+    dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
+                                       params.kernel_type) + out["s"]) * params.density0
+    dens = jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
+    denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
+    alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    alpha = jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
+    return dens, alpha
 
 
 def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
@@ -56,19 +92,22 @@ def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
                     with_count: bool = False):
     """sum_j V_j (v_i - v_j) . gradW_ij over all neighbors (DFSPH.py:90-101),
     optionally with the neighbor count for the deficiency guard."""
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        dv = f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :]
-        contrib = sl_c["rest_volume"][:, None, :] * jnp.sum(dv * gradW, axis=-1)
-        out = dict(s=ctx.sum_w(contrib, mask))
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        dv_R = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
+        contrib = cx.slab("rest_volume") * dv_R * gw
+        out = {"s": cx.sum(contrib, mask)}
         if with_count:
-            out["cnt"] = ctx.sum_w(jnp.ones_like(contrib), mask)
+            out["cnt"] = cx.sum(jnp.ones_like(contrib), mask)
         return out
 
-    out = run_blocked(kern, env,
-                      {"rest_volume": sl["rest_volume"], "vel": vel_slab},
-                      {"pos": p.pos, "vel": vel}, params)
+    out = pair_exec.run(kern, env,
+                        {"rest_volume": sl["rest_volume"], "vel": vel_slab},
+                        {"pos": p.pos, "vel": vel}, params)
     if with_count:
         return out["s"], out["cnt"]
     return out["s"]
@@ -98,47 +137,52 @@ def _correction(
     """Velocity correction dv and rigid wrench for one corrector iteration
     (DFSPH.py:161-202 / 245-283; both correctors share this form)."""
     eps = params.dfsph_eps * params.dt
+    dim = params.dim
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
+    if kappa_slab is None:
+        kappa_slab = slab_pack(env, {"kappa": kappa})["kappa"]
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        grad_pj = sl_c["rest_volume"][:, None, :, None] * gradW
-        mat_j = sl_c["material"][:, None, :]
-        k_i = f_c["kappa"][:, :, None]
-        rho_i = jnp.maximum(f_c["density"], 1e-12)[:, :, None]
-        k_j = sl_c["kappa"][:, None, :]
-        rho_j = jnp.maximum(sl_c["density"], 1e-12)[:, None, :]
+    def kern(cx):
+        # all divisions hoisted to per-particle precomputes (k_rho = kappa/rho)
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        vgw = cx.slab("rest_volume") * gw                  # grad_pj = vgw * R
+        mat_j = cx.slab("material")
+        k_i = cx.blk("kappa")
+        k_j = cx.slab("kappa")
+        kr_i = cx.blk("k_rho")
+        kr_j = cx.slab("k_rho")
         fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
         rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
-        coef = jnp.where(fluid_j, (k_i / rho_i + k_j / rho_j) * params.density0, 0.0) \
-            + jnp.where(rigid_j, (k_i / rho_i) * params.density0, 0.0)
-        dv = ctx.sum_w(-coef[..., None] * grad_pj, fluid_j | rigid_j)
+        coef = (cx.where(fluid_j, kr_i + kr_j, 0.0) +
+                cx.where(rigid_j, kr_i, 0.0)) * params.density0 * vgw
+        out = {f"dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
+               for d in range(dim)}
 
         # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
         pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-            (f_c["rigid_dyn"] > 0)[:, :, None] & (jnp.abs(k_j) > eps)
-        c = -f_c["rest_volume"][:, :, None] * (k_j / rho_j) * \
+            (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
+        c = -cx.blk("rest_volume") * kr_j * \
             params.density0 / params.dt * \
-            (sl_c["rest_volume"][:, None, :] * params.density0)
-        force_pp = ctx.sum_w(jnp.where(pair_ok[..., None],
-                                       c[..., None] * gradW, 0.0), pair_ok)
-        return dict(dv=dv, force_pp=force_pp)
+            (cx.slab("rest_volume") * params.density0) * gw
+        c = cx.where(pair_ok, c, 0.0)
+        for d in range(dim):
+            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        return out
 
-    if kappa_slab is None:
-        kappa_slab = slab_pack(env, {"kappa": kappa})["kappa"]
-    out = run_blocked(
+    k_rho = kappa / jnp.maximum(p.density, 1e-12)
+    out = pair_exec.run(
         kern, env,
         {"rest_volume": sl["rest_volume"], "material": sl["material"],
-         "density": sl["density"], "kappa": kappa_slab},
-        {"pos": p.pos, "kappa": kappa, "density": p.density,
+         "kappa": kappa_slab, "k_rho": k_rho},
+        {"pos": p.pos, "kappa": kappa, "k_rho": k_rho,
          "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
     dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
-    torque_pp = common.pair_cross(arm, out["force_pp"], params.dim)
-    force, torque = common.reduce_wrench(out["force_pp"], torque_pp, p, params)
+    torque_pp = common.pair_cross(arm, out["fpp"], params.dim)
+    force, torque = common.reduce_wrench(out["fpp"], torque_pp, p, params)
     return dv, force, torque
 
 
@@ -236,14 +280,15 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
     sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    p = p.replace(density=common.compute_density(p, env, sl, params))
+    dens, alpha = density_and_alpha(p, env, sl, params)
+    p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": p.density})["d"]
-    alpha = compute_alpha(p, env, sl, params)
     p, rigid, itr_v, err_v = correct_divergence_error(
         p, state.rigid, alpha, env, sl, params)
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
-    p = common.compute_rigid_particle_volume(p, env, sl, params)
+    if params.has_rigid:
+        p = common.compute_rigid_particle_volume(p, env, sl, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=env,
         t=state.t + params.dt, step_count=state.step_count + 1,

@@ -130,10 +130,11 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     p = p.replace(vel=jnp.where(fluid, (p.pos - old_pos) / params.dt, p.vel))
 
     # base step wrapper tail (base_solver.py:692-696) still runs for PBF
-    fresh = slab_pack(env, {"x": p.pos, "object_id": p.object_id})
-    sl["object_id"] = fresh["object_id"]
-    p = common.compute_rigid_particle_volume(p, env, sl, params,
-                                             pos_slab=fresh["x"])
+    if params.has_rigid:
+        fresh = slab_pack(env, {"x": p.pos, "object_id": p.object_id})
+        sl["object_id"] = fresh["object_id"]
+        p = common.compute_rigid_particle_volume(p, env, sl, params,
+                                                 pos_slab=fresh["x"])
     state = state.replace(
         particles=p, rigid=rigid,
         t=state.t + params.dt, step_count=state.step_count + 1,

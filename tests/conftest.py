@@ -2,7 +2,14 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so sharding paths are exercised
 # without TPU hardware (mirrors the driver's dryrun_multichip environment).
+# NB: this environment's TPU plugin swallows the JAX_PLATFORMS env var, so the
+# platform must ALSO be pinned through jax.config (verified: env alone is
+# ignored and tests would silently run on the tunneled TPU).
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
