@@ -79,33 +79,32 @@ def main():
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
     float(state.t)  # force completion
 
-    @functools.partial(jax.jit, static_argnums=1)
-    def run_n(s, n):
-        step = simlib.get_step_fn(params)
-        def body(carry, _):
-            s2, d = step(carry)
-            return s2, (d["solver_iters"], d["div_iters"])
-        return jax.lax.scan(body, s, None, length=n)
+    # single-step dispatches (a lax.scan wrapper doubles peak memory and
+    # kills the TPU worker at 1.23M particles); per-rep scalar-fetch sync
+    step = jax.jit(simlib.get_step_fn(params))
 
     # warmup: compile + settle the fluid so correctors do realistic work
-    state, _ = run_n(state, args.chunk)
+    iters = None
+    for _ in range(max(args.chunk // 3, 3)):
+        state, diag = step(state)
     float(state.t)
 
     times = []
-    iters = None
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        state, iters = run_n(state, args.chunk)
+        for _ in range(args.chunk):
+            state, diag = step(state)
         float(state.t)  # sync through the tunnel
         times.append(time.perf_counter() - t0)
+    iters = (diag["solver_iters"], diag["div_iters"])
     best = min(times)
     steps_per_s = args.chunk / best
     pps = steps_per_s * params.n_particles
     assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), "NaN in benchmark"
     if args.verbose:
-        it = np.asarray(iters[0])
         print(f"# n={params.n_particles} times={['%.2f' % t for t in times]} "
-              f"steps/s={steps_per_s:.1f} dens_iters(last5)={it[-5:]}")
+              f"steps/s={steps_per_s:.1f} dens_iters={int(iters[0])} "
+              f"div_iters={int(iters[1])}")
     print(json.dumps({
         "metric": f"particle-steps/sec (DFSPH dam break, {params.n_particles} particles)",
         "value": round(pps, 1),
