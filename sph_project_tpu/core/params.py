@@ -80,6 +80,10 @@ class SimParams:
     pair_chunk: int = 8                    # blocks per lax.map chunk (memory cap)
     pair_wtile: int = 768                  # window-axis tile for the Pallas path
     pair_backend: str = "pallas"           # "pallas" on TPU, "jax" fallback
+    # outlier bucketing: blocks whose windows exceed pair_slab rerun with
+    # pair_slab_big windows (0 disables); M = NB // pair_big_frac slots
+    pair_slab_big: int = 0
+    pair_big_frac: int = 8
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles

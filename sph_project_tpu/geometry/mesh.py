@@ -153,5 +153,9 @@ def fill_lattice(verts: np.ndarray, faces: np.ndarray, pitch: float,
     axes = [np.arange(start[i], hi[i], pitch) for i in range(3)]
     grid = np.meshgrid(*axes, indexing="ij")
     pts = np.stack(grid, axis=-1).reshape(-1, 3)
-    keep = inside_lattice(verts, faces, pts)
+    try:
+        from .. import native
+        keep = native.mesh_inside(verts, faces, pts)
+    except Exception:
+        keep = inside_lattice(verts, faces, pts)
     return pts[keep].astype(np.float32)

@@ -5,11 +5,15 @@ every quantity is a 2-D-broadcastable (rows=block particles, cols=window
 candidates) array, vectors are component tuples, and the only reduction is
 ``cx.sum`` over the window axis. The same body then runs on:
 
-- :func:`run_jax` — the chunked lax.map executor (CPU tests, fallback), and
 - :func:`run_pallas` — a Pallas TPU kernel that tiles the window axis in
-  VMEM flash-attention-style, so the (B, W) pair tensors never touch HBM.
-  This is the speed-of-light path: measured HBM traffic per pass drops from
-  ~30 GB (XLA materializing multi-consumer chunk tensors) to the slab reads.
+  VMEM flash-attention-style, so the (B, W) pair tensors never touch HBM, and
+- :func:`run_jax` — a chunked lax.map executor (CPU tests, fallback).
+
+Outlier bucketing: when ``env.big_ids`` is set (PairEnv built with
+``params.pair_slab_big``), a second pass reruns the outlier blocks — whose
+windows exceed the common cap S — against big windows, and their rows replace
+the pass-1 results. This keeps S sized for the typical block instead of the
+worst wall-sheet-spanning one.
 
 Layout notes (TPU): all slab data is (NB, W) f32 per scalar component —
 vector fields are passed as separate components so the lane dimension is
@@ -17,8 +21,7 @@ always the wide window axis; block scalars are (NB, B).
 """
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.params import SimParams
-from .pairs import PairEnv, block, slab_pack
+from .pairs import PairEnv, SlabField, _gather_field, block
 
 
 class Cx:
@@ -37,8 +40,8 @@ class Cx:
     masked reduction over the window axis -> (..., B).
     """
 
-    def __init__(self, blocks: Dict[str, jnp.ndarray], slabs: Dict[str, jnp.ndarray],
-                 jidx, valid, row_slab, row_block, row_off, gidx, params: SimParams):
+    def __init__(self, blocks, slabs, jidx, valid, row_slab, row_block,
+                 row_off, gidx, params: SimParams):
         self._b = blocks
         self._s = slabs
         self._jidx = jidx
@@ -97,8 +100,8 @@ class Cx:
         return (a[0] * b[1] - a[1] * b[0],)
 
 
-def _split_components(d: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
-    """Expand (N, dim) entries into scalar components name0, name1, name2."""
+def _split(d: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Expand trailing-dim vectors into scalar components name0..name{d-1}."""
     out = {}
     for k, v in d.items():
         if v.ndim == 2:
@@ -109,137 +112,120 @@ def _split_components(d: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     return out
 
 
-def prepare_inputs(env: PairEnv, slabs: Dict[str, jnp.ndarray],
-                   fields: Dict[str, jnp.ndarray], params: SimParams):
-    """Common preprocessing: component-split fields/slabs, block the fields,
-    attach env metadata. Slab entries may be (N,)/(N, d) per-particle arrays
-    (slab-packed here in one gather) or already-slabbed (NB, W[, d]) arrays."""
+def _rows_of(x: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows (M,) of a (NB, X) array as (1, X) slices (fast on TPU)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+    return jax.lax.gather(x, ids[:, None], dn, (1, x.shape[1]),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+def prepare_inputs(env: PairEnv, slabs: Dict, fields: Dict, params: SimParams):
+    """Blocks + small/big slab components + mask metadata for both passes."""
     B = params.pair_block
     NB = env.nb
-    # slab entries with leading dim N are per-particle (packed here);
-    # leading dim NB means already slabbed
     n = NB * B
-    pack_items = {k: v for k, v in slabs.items() if v.shape[0] == n}
-    ready = {k: v for k, v in slabs.items() if v.shape[0] == NB}
-    packed = slab_pack(env, pack_items) if pack_items else {}
-    # the sort-time position slab is always available as pos0..pos{d-1}
-    slab_all = {f"pos{i}": env.pos_slab[:, :, i]
-                for i in range(env.pos_slab.shape[2])}
-    for k, v in {**packed, **ready}.items():
-        if v.ndim == 3:
-            for i in range(v.shape[2]):
-                slab_all[f"{k}{i}"] = v[:, :, i]
+    ns = env.starts.shape[1]
+    S = env.slab_width // ns
+    bucketed = env.big_ids is not None
+    Sb = env.jidx_big.shape[1] // ns if bucketed else 0
+
+    slab_small: Dict[str, jnp.ndarray] = {}
+    slab_big: Dict[str, jnp.ndarray] = {}
+
+    def add(name, small, big):
+        if small.ndim == 3:
+            for i in range(small.shape[2]):
+                slab_small[f"{name}{i}"] = small[:, :, i]
+                if bucketed:
+                    slab_big[f"{name}{i}"] = big[:, :, i]
         else:
-            slab_all[k] = v
-    fields_c = _split_components(fields)
-    blocks = {k: v.reshape(NB, B) for k, v in fields_c.items()}
-    meta = dict(
-        jidx=env.jidx, valid=env.valid.astype(jnp.int32),
-        row_slab=env.row_slab,
-        row_block=block(env.rows, B),
-        gidx=jnp.arange(n, dtype=jnp.int32).reshape(NB, B),
-    )
-    return blocks, slab_all, meta
+            slab_small[name] = small
+            if bucketed:
+                slab_big[name] = big
+
+    add("pos", env.pos_slab, env.pos_slab_big)
+    for k, v in (slabs or {}).items():
+        if isinstance(v, SlabField):
+            add(k, v.small, v.big)
+        elif hasattr(v, "shape") and v.shape[0] == n:
+            small = _gather_field(v, env.starts, S)
+            big = _gather_field(v, env.starts_big, Sb) if bucketed else None
+            add(k, small, big)
+        else:
+            if bucketed:
+                raise ValueError(f"slab '{k}' lacks big-window data")
+            add(k, v, None)
+
+    blocks = {k: v.reshape(NB, B) for k, v in _split(fields).items()}
+    row_block = block(env.rows, B)
+    meta_s = dict(jidx=env.jidx, valid=env.valid.astype(jnp.int32),
+                  row_slab=env.row_slab, row_block=row_block,
+                  gidx=jnp.arange(n, dtype=jnp.int32).reshape(NB, B))
+    meta_b = None
+    blocks_b = None
+    if bucketed:
+        ids = env.big_ids
+        blocks_b = {k: _rows_of(v, ids) for k, v in blocks.items()}
+        meta_b = dict(jidx=env.jidx_big, valid=env.valid_big.astype(jnp.int32),
+                      row_slab=env.row_slab_big,
+                      row_block=_rows_of(row_block, ids),
+                      gidx=ids[:, None] * B +
+                      jnp.arange(B, dtype=jnp.int32)[None, :])
+    return blocks, slab_small, meta_s, blocks_b, slab_big, meta_b
 
 
-def _collect_outputs(out: Dict[str, jnp.ndarray], n: int) -> Dict[str, jnp.ndarray]:
-    """Merge component outputs name0..name2 back into (N, dim) vectors."""
+def _collect(out: Dict[str, jnp.ndarray], n: int) -> Dict[str, jnp.ndarray]:
+    """Merge component outputs name0..name{d-1} back into (N, d) vectors."""
     merged: Dict[str, jnp.ndarray] = {}
     comps: Dict[str, list] = {}
     for k in sorted(out.keys()):
         if k[-1].isdigit() and k[:-1] != "":
             comps.setdefault(k[:-1], []).append(out[k])
         else:
-            merged[k] = out[k].reshape(n, *out[k].shape[2:]) if out[k].ndim > 1 else out[k]
+            merged[k] = out[k].reshape(-1)
     for k, vs in comps.items():
         merged[k] = jnp.stack([v.reshape(-1) for v in vs], axis=-1)
     return merged
 
 
-def run_jax(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
-            params: SimParams) -> Dict[str, jnp.ndarray]:
-    """Chunked lax.map executor for component kernels (CPU / fallback)."""
-    B = params.pair_block
-    NB = env.nb
-    n = NB * B
-    blocks, slab_all, meta = prepare_inputs(env, slabs, fields, params)
-
-    c = 1
-    for cand in range(min(NB, params.pair_chunk), 0, -1):
-        if NB % cand == 0:
-            c = cand
-            break
-    nchunks = NB // c
-
-    def resh(x):
-        return x.reshape((nchunks, c) + x.shape[1:])
-
-    args = (jax.tree.map(resh, blocks), jax.tree.map(resh, slab_all),
-            jax.tree.map(resh, meta))
-
-    def body(a):
-        b_c, s_c, m_c = a
-        cx = Cx(b_c, s_c, m_c["jidx"], m_c["valid"], m_c["row_slab"],
-                m_c["row_block"], env.row_off, m_c["gidx"], params)
+def _out_shapes(kern, blocks, slabs_c, params, B, Wt):
+    def probe(b_, s_):
+        z = jnp.zeros
+        cx = Cx(b_, s_, z((1, Wt), jnp.int32), z((1, Wt), jnp.int32),
+                z((1, Wt), jnp.int32), z((1, B), jnp.int32),
+                z((1, Wt), jnp.int32), z((1, B), jnp.int32), params)
         return kern(cx)
+    bs = {k: jax.ShapeDtypeStruct((1, B), v.dtype) for k, v in blocks.items()}
+    ss = {k: jax.ShapeDtypeStruct((1, Wt), v.dtype) for k, v in slabs_c.items()}
+    return jax.eval_shape(probe, bs, ss)
 
-    out = jax.lax.map(body, args)
-    out = jax.tree.map(lambda y: y.reshape((NB, B) + y.shape[3:]), out)
-    return _collect_outputs(out, n)
 
-
-def run_pallas(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
-               params: SimParams, interpret: bool | None = None
-               ) -> Dict[str, jnp.ndarray]:
-    """Pallas executor: grid over (blocks, window tiles); the (B, Wt) pair
-    tensors live only in VMEM; outputs accumulate across window tiles."""
+def _exec_pallas(kern, blocks, slabs_c, meta, row_off, params, interpret):
     B = params.pair_block
-    NB = env.nb
-    W = env.slab_width
-    n = NB * B
-    Wt = params.pair_wtile
-    if W % Wt != 0:
-        # W = NS * S with S a multiple of 128; fall back to one-tile windows
-        Wt = W
+    NB = blocks[next(iter(blocks))].shape[0]
+    W = meta["jidx"].shape[1]
+    Wt = params.pair_wtile if W % params.pair_wtile == 0 else W
     T = W // Wt
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    blocks, slab_all, meta = prepare_inputs(env, slabs, fields, params)
-    # determine output structure by tracing the kernel once
-    def fake_kern_shapes():
-        bshapes = {k: jax.ShapeDtypeStruct((1, B), v.dtype) for k, v in blocks.items()}
-        sshapes = {k: jax.ShapeDtypeStruct((1, Wt), v.dtype) for k, v in slab_all.items()}
-        def probe(b_, s_):
-            cx = Cx(b_, s_,
-                    jnp.zeros((1, Wt), jnp.int32), jnp.zeros((1, Wt), jnp.int32),
-                    jnp.zeros((1, Wt), jnp.int32), jnp.zeros((1, B), jnp.int32),
-                    jnp.zeros((1, Wt), jnp.int32), jnp.zeros((1, B), jnp.int32),
-                    params)
-            return kern(cx)
-        return jax.eval_shape(probe, bshapes, sshapes)
-    out_shapes = fake_kern_shapes()
+    out_shapes = _out_shapes(kern, blocks, slabs_c, params, B, Wt)
     out_names = sorted(out_shapes.keys())
-
     block_names = sorted(blocks.keys())
-    slab_names = sorted(slab_all.keys())
+    slab_names = sorted(slabs_c.keys())
 
     def kernel_fn(*refs):
         nb_refs = refs[: len(block_names)]
         sl_refs = refs[len(block_names): len(block_names) + len(slab_names)]
-        jidx_ref, valid_ref, row_slab_ref, row_block_ref, row_off_ref, gidx_ref = \
+        jidx_r, valid_r, row_slab_r, row_block_r, row_off_r, gidx_r = \
             refs[len(block_names) + len(slab_names):
                  len(block_names) + len(slab_names) + 6]
         out_refs = refs[len(block_names) + len(slab_names) + 6:]
-
         t = pl.program_id(1)
         b_d = {k: r[:].reshape(1, B) for k, r in zip(block_names, nb_refs)}
         s_d = {k: r[:].reshape(1, Wt) for k, r in zip(slab_names, sl_refs)}
-        cx = Cx(b_d, s_d, jidx_ref[:].reshape(1, Wt), valid_ref[:].reshape(1, Wt),
-                row_slab_ref[:].reshape(1, Wt), row_block_ref[:].reshape(1, B),
-                row_off_ref[:].reshape(1, Wt), gidx_ref[:].reshape(1, B), params)
+        cx = Cx(b_d, s_d, jidx_r[:].reshape(1, Wt), valid_r[:].reshape(1, Wt),
+                row_slab_r[:].reshape(1, Wt), row_block_r[:].reshape(1, B),
+                row_off_r[:].reshape(1, Wt), gidx_r[:].reshape(1, B), params)
         out = kern(cx)
-
         for name, oref in zip(out_names, out_refs):
             val = out[name].reshape(1, 1, B)
             @pl.when(t == 0)
@@ -249,9 +235,6 @@ def run_pallas(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
             def _(oref=oref, val=val):
                 oref[:] = oref[:] + val
 
-    # arrays lifted to (NB, 1, X) so block shapes (1, 1, Xt) satisfy the
-    # Mosaic tile-alignment rule on the last two dims
-    grid = (NB, T)
     bspec = pl.BlockSpec((1, 1, B), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((1, 1, Wt), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM)
     off_spec = pl.BlockSpec((1, 1, Wt), lambda b, t: (0, 0, t), memory_space=pltpu.VMEM)
@@ -265,21 +248,73 @@ def run_pallas(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
     def lift(x):
         return x[:, None, :]
     inputs = ([lift(blocks[k]) for k in block_names]
-              + [lift(slab_all[k]) for k in slab_names]
-              + [lift(meta["jidx"]), lift(meta["valid"]), lift(meta["row_slab"]),
-                 lift(meta["row_block"]), env.row_off[None, None, :],
-                 lift(meta["gidx"])])
+              + [lift(slabs_c[k]) for k in slab_names]
+              + [lift(meta["jidx"]), lift(meta["valid"]),
+                 lift(meta["row_slab"]), lift(meta["row_block"]),
+                 row_off[None, None, :], lift(meta["gidx"])])
     outs = pl.pallas_call(
-        kernel_fn, grid=grid, in_specs=in_specs, out_specs=out_specs,
+        kernel_fn, grid=(NB, T), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape, interpret=interpret,
     )(*inputs)
-    out = {k: v.reshape(NB, B) for k, v in zip(out_names, outs)}
-    return _collect_outputs(out, n)
+    return {k: v.reshape(NB, B) for k, v in zip(out_names, outs)}
+
+
+def _exec_jax(kern, blocks, slabs_c, meta, row_off, params):
+    NB = blocks[next(iter(blocks))].shape[0]
+    c = 1
+    for cand in range(min(NB, params.pair_chunk), 0, -1):
+        if NB % cand == 0:
+            c = cand
+            break
+    nchunks = NB // c
+
+    def resh(x):
+        return x.reshape((nchunks, c) + x.shape[1:])
+
+    args = (jax.tree.map(resh, blocks), jax.tree.map(resh, slabs_c),
+            jax.tree.map(resh, meta))
+
+    def body(a):
+        b_c, s_c, m_c = a
+        cx = Cx(b_c, s_c, m_c["jidx"], m_c["valid"], m_c["row_slab"],
+                m_c["row_block"], row_off, m_c["gidx"], params)
+        return kern(cx)
+
+    out = jax.lax.map(body, args)
+    return jax.tree.map(lambda y: y.reshape((NB,) + y.shape[2:]), out)
 
 
 def run(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
         params: SimParams) -> Dict[str, jnp.ndarray]:
-    """Dispatch to the Pallas executor on TPU, chunked JAX elsewhere."""
-    if params.pair_backend == "pallas" and jax.default_backend() == "tpu":
-        return run_pallas(kern, env, slabs, fields, params, interpret=False)
-    return run_jax(kern, env, slabs, fields, params)
+    """Execute a component pair kernel: pass 1 over all blocks (small
+    windows), pass 2 over outlier blocks (big windows), merged."""
+    assert "pos" in fields, "fields must include 'pos' (center positions)"
+    B = params.pair_block
+    NB = env.nb
+    n = NB * B
+    use_pallas = (params.pair_backend == "pallas" and
+                  jax.default_backend() == "tpu")
+    blocks, ssm, meta_s, blocks_b, sbg, meta_b = prepare_inputs(
+        env, slabs, fields, params)
+
+    if use_pallas:
+        out = _exec_pallas(kern, blocks, ssm, meta_s, env.row_off, params,
+                           interpret=False)
+    else:
+        out = _exec_jax(kern, blocks, ssm, meta_s, env.row_off, params)
+
+    if env.big_ids is not None:
+        if use_pallas:
+            out_b = _exec_pallas(kern, blocks_b, sbg, meta_b, env.row_off_big,
+                                 params, interpret=False)
+        else:
+            out_b = _exec_jax(kern, blocks_b, sbg, meta_b, env.row_off_big,
+                              params)
+        sel = env.big_flag[env.big_ids][:, None]
+        ids = env.big_ids
+        merged = {}
+        for k in out:
+            rows = jnp.where(sel, out_b[k], _rows_of(out[k], ids))
+            merged[k] = out[k].at[ids].set(rows)
+        out = merged
+    return _collect(out, n)

@@ -50,6 +50,18 @@ class PairEnv(struct.PyTreeNode):
     rows: jnp.ndarray          # (N,) i32 — flat (x, y) row id per particle
     row_slab: jnp.ndarray      # (NB, NS*S) i32 — slabbed row ids
     row_off: jnp.ndarray       # (NS*S,) i32 — expected row offset per column
+    # outlier bucketing (None when params.pair_slab_big == 0): blocks whose
+    # windows exceed S rerun against S_big windows — domain-box wall sheets
+    # make a few blocks span huge index gaps (sorted-order discontinuities)
+    # and a single global S sized for them would explode every block's cost
+    big_ids: jnp.ndarray = None     # (M,) i32 — block ids processed in pass 2
+    big_flag: jnp.ndarray = None    # (NB,) bool — pass-1 result invalid
+    starts_big: jnp.ndarray = None  # (M, NS) i32
+    jidx_big: jnp.ndarray = None    # (M, NS*Sb) i32
+    valid_big: jnp.ndarray = None   # (M, NS*Sb) bool
+    row_slab_big: jnp.ndarray = None  # (M, NS*Sb) i32
+    pos_slab_big: jnp.ndarray = None  # (M, NS*Sb, dim)
+    row_off_big: jnp.ndarray = None   # (NS*Sb,) i32
 
     @property
     def nb(self) -> int:
@@ -97,12 +109,13 @@ def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
         offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
     else:
         offsets = [(dx,) for dx in (-1, 0, 1)]
-    max_len = 1
     cxy = coords[:, :-1]
     cz = coords[:, -1]
     zlo = np.maximum(cz - 1, 0)
     zhi = np.minimum(cz + 1, g[-1] - 1)
     live = cells_sorted < ncells
+    nb = n // B
+    block_max = np.ones(nb, np.int64)
     for off in offsets:
         ncxy = cxy + np.asarray(off)
         ok = np.all((ncxy >= 0) & (ncxy < np.asarray(g[:-1])), axis=-1) & live
@@ -114,12 +127,81 @@ def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
         hi = np.searchsorted(cells_sorted, row * g[-1] + zhi + 1)
         lo = np.where(ok, lo, n)
         hi = np.where(ok, hi, 0)
-        nb = n // B
         blo = lo[: nb * B].reshape(nb, B).min(axis=1)
         bhi = hi[: nb * B].reshape(nb, B).max(axis=1)
-        max_len = max(max_len, int(np.maximum(bhi - blo, 0).max()))
-    S = int(np.ceil(max_len * margin / round_to) * round_to)
-    return max(min(S, n), round_to)
+        block_max = np.maximum(block_max, np.maximum(bhi - blo, 0))
+
+    def rnd(x):
+        return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
+                   round_to)
+
+    S = rnd(float(block_max.max()))
+    return S
+
+
+def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
+                        params: SimParams, margin: float = 1.4,
+                        round_to: int = 256):
+    """(S_small, S_big) for outlier bucketing: S_small covers all but the
+    worst ~1/(2*pair_big_frac) of blocks, S_big covers the max. Returns
+    S_big = 0 when one tier suffices."""
+    import numpy as np
+
+    # reuse the single-tier estimator's window computation via a small shim
+    n = pos.shape[0]
+    B = params.pair_block
+    nb = n // B
+    # recompute block_max (duplicated from estimate_slab_size's core)
+    g = params.grid_num
+    dim = pos.shape[1]
+    start_arr = np.asarray(params.domain_start, np.float32)
+    q = (pos.astype(np.float32) - start_arr) / np.float32(params.support_radius)
+    coords = np.clip(np.floor(q).astype(np.int64), 0, np.asarray(g) - 1)
+    if dim == 3:
+        flat = (coords[:, 0] * g[1] + coords[:, 1]) * g[2] + coords[:, 2]
+        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    else:
+        flat = coords[:, 0] * g[1] + coords[:, 1]
+        offsets = [(dx,) for dx in (-1, 0, 1)]
+    ncells = int(np.prod(g))
+    flat = np.where(active, flat, ncells)
+    order = np.argsort(flat, kind="stable")
+    cells_sorted = flat[order]
+    coords = coords[order]
+    cxy = coords[:, :-1]
+    cz = coords[:, -1]
+    zlo = np.maximum(cz - 1, 0)
+    zhi = np.minimum(cz + 1, g[-1] - 1)
+    live = cells_sorted < ncells
+    block_max = np.ones(nb, np.int64)
+    for off in offsets:
+        ncxy = cxy + np.asarray(off)
+        ok = np.all((ncxy >= 0) & (ncxy < np.asarray(g[:-1])), axis=-1) & live
+        row = ncxy[:, 0] * g[1] + ncxy[:, 1] if dim == 3 else ncxy[:, 0]
+        lo = np.where(ok, np.searchsorted(cells_sorted, row * g[-1] + zlo), n)
+        hi = np.where(ok, np.searchsorted(cells_sorted, row * g[-1] + zhi + 1), 0)
+        blo = lo[: nb * B].reshape(nb, B).min(axis=1)
+        bhi = hi[: nb * B].reshape(nb, B).max(axis=1)
+        block_max = np.maximum(block_max, np.maximum(bhi - blo, 0))
+
+    def rnd(x):
+        return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
+                   round_to)
+
+    # keep the flagged fraction well under the M = NB/pair_big_frac budget
+    quant = 1.0 - 0.5 / max(params.pair_big_frac, 2)
+    S_small = rnd(float(np.quantile(block_max, quant)))
+    S_big = rnd(float(block_max.max()))
+    if S_big <= S_small:
+        return S_big, 0
+    return S_small, S_big
+
+
+class SlabField(struct.PyTreeNode):
+    """A slab-gathered field: pass-1 (small) windows and, when outlier
+    bucketing is active, the pass-2 (big) windows of the outlier blocks."""
+    small: jnp.ndarray
+    big: jnp.ndarray = None
 
 
 def _slab_gather_1d(field: jnp.ndarray, starts: jnp.ndarray, S: int) -> jnp.ndarray:
@@ -146,6 +228,16 @@ def slab(env: PairEnv, field: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(cols, axis=-1)
 
 
+def _gather_field(f, starts, S):
+    dt = f.dtype
+    if f.ndim == 1:
+        g = _slab_gather_1d(f.astype(jnp.float32) if dt != jnp.float32 else f,
+                            starts, S)
+        return g.astype(dt) if dt != jnp.float32 else g
+    cols = [_slab_gather_1d(f[:, d], starts, S) for d in range(f.shape[1])]
+    return jnp.stack(cols, axis=-1)
+
+
 def slab_pack(env: PairEnv, fields: dict) -> dict:
     """Slab-gather many fields (one contiguous-window gather per component).
 
@@ -153,16 +245,20 @@ def slab_pack(env: PairEnv, fields: dict) -> dict:
     but packing fields into an (N, F) matrix first costs far more than the
     gathers save (minor-dim interleave writes are pathological on TPU), so
     each component gathers separately from its natural (N,) layout.
+
+    Returns :class:`SlabField` values carrying the pass-2 (outlier) windows
+    too when bucketing is active.
     """
+    ns = env.starts.shape[1]
+    S = env.slab_width // ns
     res = {}
     for name, f in fields.items():
-        dt = f.dtype
-        if f.ndim == 1:
-            g = _slab_gather_1d(f.astype(jnp.float32) if dt != jnp.float32 else f,
-                                env.starts, env.slab_width // env.starts.shape[1])
-            res[name] = g.astype(dt) if dt != jnp.float32 else g
-        else:
-            res[name] = slab(env, f)
+        small = _gather_field(f, env.starts, S)
+        big = None
+        if env.big_ids is not None:
+            Sb = env.jidx_big.shape[1] // ns
+            big = _gather_field(f, env.starts_big, Sb)
+        res[name] = SlabField(small=small, big=big)
     return res
 
 
@@ -239,7 +335,8 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     jglobal = cstart[:, :, None] + col                       # (NB, NS, S)
     valid = (jglobal >= bstart[:, :, None]) & \
             (jglobal < jnp.minimum(bend, cstart + S)[:, :, None])
-    overflow = jnp.sum(jnp.maximum(bend - (cstart + S), 0))
+    overflow_per_block = jnp.sum(jnp.maximum(bend - (cstart + S), 0), axis=1)
+    overflow = jnp.sum(overflow_per_block)
     jidx = jnp.minimum(jglobal, n - 1).reshape(nb, ns * S)
     valid = valid.reshape(nb, ns * S)
     bstart = cstart
@@ -257,8 +354,47 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     env = PairEnv(starts=bstart, lens=blen, pos_slab=jnp.zeros(()),
                   jidx=jidx, valid=valid, overflow=overflow.astype(jnp.int32),
                   rows=rows_all, row_slab=jnp.zeros(()), row_off=row_off)
-    packed = slab_pack(env, {"pos": pos, "rows": rows_all})
-    return env.replace(pos_slab=packed["pos"], row_slab=packed["rows"])
+    pos_sl = _gather_field(pos, bstart, S)
+    rows_sl = _gather_field(rows_all, bstart, S)
+    env = env.replace(pos_slab=pos_sl, row_slab=rows_sl)
+
+    Sb = min(params.pair_slab_big, n)
+    if Sb > S:
+        maxlen = jnp.max(blen, axis=1)                       # (NB,)
+        M = max(1, nb // params.pair_big_frac)
+        _, big_ids = jax.lax.top_k(maxlen, M)
+        big_ids = big_ids.astype(jnp.int32)
+        big_flag = maxlen > S
+        # flagged blocks not captured by the M slots => dropped pairs: count
+        missed = jnp.sum(big_flag) - jnp.sum(big_flag[big_ids])
+        # pass-2 supersedes the flagged blocks' clipped small windows, so
+        # their small-side truncation is not a loss
+        env = env.replace(overflow=env.overflow -
+                          jnp.sum(jnp.where(big_flag,
+                                            overflow_per_block, 0)).astype(jnp.int32))
+        bstart_b = bstart[big_ids]
+        bend_b = (bstart + jnp.maximum(blen, 0))[big_ids]
+        # same construction as the small side, at S_big
+        cstart_b = jnp.clip(jnp.minimum(bstart_b, n - Sb), 0)
+        col_b = jax.lax.broadcasted_iota(jnp.int32, (M, ns, Sb), 2)
+        jglob_b = cstart_b[:, :, None] + col_b
+        valid_b = (jglob_b >= bstart_b[:, :, None]) & \
+                  (jglob_b < jnp.minimum(bend_b, cstart_b + Sb)[:, :, None])
+        overflow_b = jnp.sum(jnp.maximum(bend_b - (cstart_b + Sb), 0))
+        jidx_b = jnp.minimum(jglob_b, n - 1).reshape(M, ns * Sb)
+        valid_b = valid_b.reshape(M, ns * Sb)
+        row_off_b = jnp.repeat(row_off_seg, Sb).astype(jnp.int32)
+        pos_sb = _gather_field(pos, cstart_b, Sb)
+        rows_sb = _gather_field(rows_all, cstart_b, Sb)
+        env = env.replace(
+            overflow=env.overflow + missed.astype(jnp.int32) * S +
+            overflow_b.astype(jnp.int32),
+            big_ids=big_ids, big_flag=big_flag, starts_big=cstart_b,
+            jidx_big=jidx_b, valid_big=valid_b,
+            row_slab_big=rows_sb, pos_slab_big=pos_sb,
+            row_off_big=row_off_b,
+        )
+    return env
 
 
 # ---------------------------------------------------------------------------

@@ -54,36 +54,35 @@ def rigid_contact_wrench(
     apart with a linear spring + normal damping, accumulated per body over
     the dense pair windows (ops/pairs.py) — no atomics, no scatters.
     """
-    from ..ops.pairs import run_blocked, slab_pack
+    from ..ops import pair_exec
     from ..solvers.common import pair_cross, reduce_wrench
 
     d0 = params.particle_diameter
-    sl = slab_pack(env, {"material": p.material, "object_id": p.object_id,
-                         "vel": p.vel})
+    dim = params.dim
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
         dist = jnp.sqrt(d2)
-        rigid_pair = (f_c["material"][:, :, None] == MATERIAL_RIGID) & \
-                     (sl_c["material"][:, None, :] == MATERIAL_RIGID) & \
-                     (f_c["object_id"][:, :, None] != sl_c["object_id"][:, None, :]) & mask
+        rigid_pair = (cx.blk("material") == MATERIAL_RIGID) & \
+                     (cx.slab("material") == MATERIAL_RIGID) & \
+                     (cx.blk("object_id") != cx.slab("object_id")) & mask
         pen = d0 - dist
         touching = rigid_pair & (pen > 0.0)
-        n = R / jnp.maximum(dist, 1e-9)[..., None]
-        v_rel = f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :]
-        vn = jnp.sum(v_rel * n, axis=-1)
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-9)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        vn = sum((vb[d] - vs[d]) * R[d] for d in range(dim)) * inv_dist
         fmag = params.contact_stiffness * pen - params.contact_damping * \
             params.contact_stiffness * params.dt * vn
-        f = jnp.where(touching[..., None],
-                      jnp.maximum(fmag, 0.0)[..., None] * n, 0.0)
-        # force f acts on particle i's body; the reaction appears when the
+        fmag = cx.where(touching, jnp.maximum(fmag, 0.0) * inv_dist, 0.0)
+        # force acts on particle i's body; the reaction appears when the
         # pair shows up mirrored (windows are symmetric by construction)
-        return ctx.sum_w(f, touching)
+        return {f"f{d}": cx.sum(fmag * R[d], touching) for d in range(dim)}
 
-    force_pp = run_blocked(
-        kern, env, sl,
+    force_pp = pair_exec.run(
+        kern, env,
+        {"material": p.material, "object_id": p.object_id, "vel": p.vel},
         {"pos": p.pos, "material": p.material, "object_id": p.object_id,
-         "vel": p.vel}, params)
+         "vel": p.vel}, params)["f"]
     arm = p.pos - rigid.com[jnp.clip(p.object_id, 0, params.max_objects - 1)]
     torque_pp = pair_cross(arm, force_pp, params.dim)
     return reduce_wrench(force_pp, torque_pp, p, params)

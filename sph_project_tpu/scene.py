@@ -225,15 +225,15 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     params = make_params(n_particles, **kw)
 
     if "pair_slab" not in param_overrides:
-        # size the dense-pair window cap for this scene's actual occupancy
+        # size the dense-pair window caps for this scene's actual occupancy
         # (ops/pairs.py; runtime overflow counter covers later densification)
-        from .ops.pairs import estimate_slab_size
+        from .ops.pairs import estimate_slab_sizes
         all_pos = np.concatenate([c["pos"] for c in chunks]).astype(np.float32)
         pad = np.zeros((params.n_pad - n_particles, dim), np.float32)
         act = np.zeros(params.n_pad, bool)
         act[:n_particles] = True
-        S = estimate_slab_size(np.concatenate([all_pos, pad]), act, params)
-        params = make_params(n_particles, pair_slab=S, **kw)
+        S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act, params)
+        params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big, **kw)
 
     # ---- pack into the padded state ---------------------------------------
     state = zeros_state(params)

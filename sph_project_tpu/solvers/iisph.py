@@ -14,68 +14,78 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import SimState
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 
 def compute_dii(p, density_star_prev, env, sl, params):
     """d_ii = -sum_j rho0 V_j gradW / rho_j^2 (fluid j) with the rigid branch
     dividing by the stale advected density of i (IISPH.py:17-44)."""
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        mat_j = sl_c["material"][:, None, :]
-        rho0v = params.density0 * sl_c["rest_volume"][:, None, :]
+    dim = params.dim
+    inv_star2 = 1.0 / jnp.maximum(jnp.square(density_star_prev), 1e-12)
+    inv_rho_j2 = None  # per-pair from slabbed density
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        mat_j = cx.slab("material")
+        rho0v = params.density0 * cx.slab("rest_volume")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        rho_j2 = jnp.square(sl_c["density"])[:, None, :]
-        star_i2 = jnp.square(f_c["star_prev"])[:, :, None]
-        c = jnp.where(fluid_j, -rho0v / jnp.maximum(rho_j2, 1e-12), 0.0) + \
-            jnp.where(rigid_j, -rho0v / jnp.maximum(star_i2, 1e-12), 0.0)
-        return ctx.sum_w(c[..., None] * gradW, mask)
+        rho_j2 = jnp.maximum(jnp.square(cx.slab("density")), 1e-12)
+        c = (cx.where(fluid_j, -rho0v / rho_j2, 0.0) +
+             cx.where(rigid_j, -rho0v * cx.blk("inv_star2"), 0.0)) * gw
+        return {f"dii{d}": cx.sum(c * R[d], mask) for d in range(dim)}
 
-    return run_blocked(kern, env,
-                       {"material": sl["material"], "density": sl["density"],
-                        "rest_volume": sl["rest_volume"]},
-                       {"pos": p.pos, "star_prev": density_star_prev}, params)
+    return pair_exec.run(kern, env,
+                         {"material": sl["material"], "density": sl["density"],
+                          "rest_volume": sl["rest_volume"]},
+                         {"pos": p.pos, "inv_star2": inv_star2}, params)["dii"]
 
 
 def compute_aii(p, dii, dii_slab, env, sl, params):
     """a_ii = dt^2 sum_j rho0 V_j (d_ii - d_ji) . gradW (IISPH.py:46-68)."""
+    dim = params.dim
     dpi = params.density0 * p.rest_volume / jnp.maximum(jnp.square(p.density), 1e-12)
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        rho0v_j = params.density0 * sl_c["rest_volume"][:, None, :]
-        dji = f_c["dpi"][:, :, None, None] * gradW
-        term = jnp.sum((f_c["dii"][:, :, None, :] - dji) * gradW, axis=-1)
-        return ctx.sum_w(rho0v_j * term, mask)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        rho0v_j = params.density0 * cx.slab("rest_volume")
+        db = cx.vec_blk("dii")
+        # (d_ii - d_ji) . gradW with d_ji = dpi * gw * R
+        term = sum((db[d] - cx.blk("dpi") * gw * R[d]) * gw * R[d]
+                   for d in range(dim))
+        return {"s": cx.sum(rho0v_j * term, mask)}
 
-    s = run_blocked(kern, env, {"rest_volume": sl["rest_volume"]},
-                    {"pos": p.pos, "dii": dii, "dpi": dpi}, params)
+    s = pair_exec.run(kern, env, {"rest_volume": sl["rest_volume"]},
+                      {"pos": p.pos, "dii": dii, "dpi": dpi}, params)["s"]
     return s * params.dt * params.dt
 
 
 def compute_density_star(p, env, sl, params):
     """Advected density rho + dt sum_j rho0 V_j (v_i - v_j).gradW (IISPH.py:70-90)."""
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        dv = f_c["vel"][:, :, None, :] - sl_c["vel"][:, None, :, :]
-        contrib = params.density0 * sl_c["rest_volume"][:, None, :] * \
-            jnp.sum(dv * gradW, axis=-1)
-        return ctx.sum_w(contrib, mask)
+    dim = params.dim
 
-    s = run_blocked(kern, env,
-                    {"rest_volume": sl["rest_volume"], "vel": sl["vel"]},
-                    {"pos": p.pos, "vel": p.vel}, params)
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        dv_R = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
+        contrib = params.density0 * cx.slab("rest_volume") * dv_R * gw
+        return {"s": cx.sum(contrib, mask)}
+
+    s = pair_exec.run(kern, env,
+                      {"rest_volume": sl["rest_volume"], "vel": sl["vel"]},
+                      {"pos": p.pos, "vel": p.vel}, params)["s"]
     return jnp.where(p.material == MATERIAL_FLUID,
                      p.density + params.dt * s, p.density)
 
 
 def refine(p, dii, aii, density_star, env, sl, params):
     """Relaxed-Jacobi pressure iteration (IISPH.py:124-200)."""
+    dim = params.dim
     fluid_i = p.material == MATERIAL_FLUID
     nf = jnp.maximum(jnp.sum(fluid_i), 1)
     dpi = params.density0 * p.rest_volume / jnp.maximum(jnp.square(p.density), 1e-12)
@@ -83,42 +93,48 @@ def refine(p, dii, aii, density_star, env, sl, params):
     dii_slab = slab_pack(env, {"dii": dii})["dii"]
 
     def dij_pj_op(pr_slab):
-        def kern(ctx, sl_c, f_c):
-            R, d2, mask = ctx.geometry(params)
-            gradW = common._gradwfn(R, d2, params)
-            fluid_j = mask & (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
-            rho_j2 = jnp.maximum(jnp.square(sl_c["density"]), 1e-12)[:, None, :]
-            rho0v = params.density0 * sl_c["rest_volume"][:, None, :]
-            c = jnp.where(fluid_j, -rho0v * sl_c["pr"][:, None, :] / rho_j2, 0.0)
-            return ctx.sum_w(c[..., None] * gradW, mask)
-        return run_blocked(kern, env,
-                           {"material": sl["material"], "density": sl["density"],
-                            "rest_volume": sl["rest_volume"], "pr": pr_slab},
-                           {"pos": p.pos}, params)
+        def kern(cx):
+            R, d2, mask = cx.geometry()
+            gw = common._gw_coef(d2, params)
+            fluid_j = mask & (cx.slab("material") == MATERIAL_FLUID)
+            rho_j2 = jnp.maximum(jnp.square(cx.slab("density")), 1e-12)
+            rho0v = params.density0 * cx.slab("rest_volume")
+            c = cx.where(fluid_j, -rho0v * cx.slab("pr") / rho_j2, 0.0) * gw
+            return {f"dp{d}": cx.sum(c * R[d], mask) for d in range(dim)}
+        return pair_exec.run(kern, env,
+                             {"material": sl["material"],
+                              "density": sl["density"],
+                              "rest_volume": sl["rest_volume"], "pr": pr_slab},
+                             {"pos": p.pos}, params)["dp"]
 
     def sum_i_op(pressure, pr_slab, dij_pj, dp_slab):
-        def kern(ctx, sl_c, f_c):
-            R, d2, mask = ctx.geometry(params)
-            gradW = common._gradwfn(R, d2, params)
-            mat_j = sl_c["material"][:, None, :]
+        def kern(cx):
+            R, d2, mask = cx.geometry()
+            gw = common._gw_coef(d2, params)
+            mat_j = cx.slab("material")
             fluid_j = mask & (mat_j == MATERIAL_FLUID)
             rigid_j = mask & (mat_j == MATERIAL_RIGID)
-            rho0v_j = params.density0 * sl_c["rest_volume"][:, None, :]
-            dji = f_c["dpi"][:, :, None, None] * gradW
-            d_ji_pi = dji * f_c["pr"][:, :, None, None]
-            inner_f = f_c["dij_pj"][:, :, None, :] \
-                - sl_c["dii"][:, None, :, :] * sl_c["pr"][:, None, :, None] \
-                - (sl_c["dp"][:, None, :, :] - d_ji_pi)
-            t_f = jnp.where(fluid_j, rho0v_j * jnp.sum(inner_f * gradW, axis=-1), 0.0)
-            t_b = jnp.where(rigid_j, rho0v_j * jnp.sum(
-                f_c["dij_pj"][:, :, None, :] * gradW, axis=-1), 0.0)
-            return ctx.sum_w(t_f + t_b, mask)
-        s = run_blocked(kern, env,
-                        {"material": sl["material"],
-                         "rest_volume": sl["rest_volume"],
-                         "dii": dii_slab, "pr": pr_slab, "dp": dp_slab},
-                        {"pos": p.pos, "dpi": dpi, "pr": pressure,
-                         "dij_pj": dij_pj}, params)
+            rho0v_j = params.density0 * cx.slab("rest_volume")
+            dijb = cx.vec_blk("dij_pj")
+            diis = cx.vec_slab("dii")
+            dps = cx.vec_slab("dp")
+            prs = cx.slab("pr")
+            # fluid: (dij_pj_i - dii_j p_j - (dij_pj_j - d_ji p_i)) . gradW
+            t_f = 0.0
+            for d in range(dim):
+                d_ji_pi = cx.blk("dpi") * gw * R[d] * cx.blk("pr")
+                inner = dijb[d] - diis[d] * prs - (dps[d] - d_ji_pi)
+                t_f = t_f + inner * gw * R[d]
+            t_b = sum(dijb[d] * gw * R[d] for d in range(dim))
+            contrib = cx.where(fluid_j, rho0v_j * t_f, 0.0) + \
+                cx.where(rigid_j, rho0v_j * t_b, 0.0)
+            return {"s": cx.sum(contrib, mask)}
+        s = pair_exec.run(kern, env,
+                          {"material": sl["material"],
+                           "rest_volume": sl["rest_volume"],
+                           "dii": dii_slab, "pr": pr_slab, "dp": dp_slab},
+                          {"pos": p.pos, "dpi": dpi, "pr": pressure,
+                           "dij_pj": dij_pj}, params)["s"]
         return s * params.dt * params.dt
 
     def one_iter(pressure):

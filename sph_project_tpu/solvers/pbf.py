@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 LAMBDA_EPS = 100.0          # PBF.py:12
@@ -32,15 +33,15 @@ CORR_DELTA_Q = 0.3          # PBF.py:14
 def compute_density_moving(p, pos, pos_slab, env, sl, params):
     """Density at moved positions (refine calls compute_density per iteration,
     PBF.py:61-65), with the step's stale windows like the reference grid."""
-    def kern(ctx, sl_c, f_c):
-        _, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
+    def kern(cx):
+        _, d2, mask = cx.geometry(pos_blk="x", pos_slab="x")
         W = kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
                       params.kernel_type)
-        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+        return {"s": cx.sum(cx.slab("rest_volume") * W, mask)}
 
-    s = run_blocked(kern, env,
-                    {"rest_volume": sl["rest_volume"], "x": pos_slab},
-                    {"pos": p.pos, "x": pos}, params)
+    s = pair_exec.run(kern, env,
+                      {"rest_volume": sl["rest_volume"], "x": pos_slab},
+                      {"pos": p.pos, "x": pos}, params)["s"]
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type) + s) * params.density0
     return jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
@@ -48,25 +49,27 @@ def compute_density_moving(p, pos, pos_slab, env, sl, params):
 
 def compute_lambda(p, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """lambda_i = -C_i / (sum |grad|^2 + |sum grad|^2 + eps) (PBF.py:68-101)."""
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
-        gradW = kernels.grad_W(R, params.support_radius, params.dim,
-                               jnp.sqrt(d2), params.kernel_type)
-        mat_j = sl_c["material"][:, None, :]
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry(pos_blk="x", pos_slab="x")
+        gw = kernels.grad_W_coef(jnp.sqrt(d2), params.support_radius,
+                                 params.dim, params.kernel_type)
+        mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        w_f = sl_c["mass"][:, None, :] / params.density0
-        w_b = sl_c["rest_volume"][:, None, :] * f_c["dens"][:, :, None] / params.density0
-        w = jnp.where(fluid_j, w_f, 0.0) + jnp.where(rigid_j, w_b, 0.0)
-        g = w[..., None] * gradW
-        sum_sq = ctx.sum_w(jnp.sum(g * g, axis=-1), fluid_j | rigid_j)
-        vec = ctx.sum_w(g, fluid_j | rigid_j)
-        return dict(sum_sq=sum_sq, vec=vec)
+        w_f = cx.slab("mass") / params.density0
+        w_b = cx.slab("rest_volume") * cx.blk("dens") / params.density0
+        w = (cx.where(fluid_j, w_f, 0.0) + cx.where(rigid_j, w_b, 0.0)) * gw
+        out = {"sum_sq": cx.sum(w * w * d2, fluid_j | rigid_j)}
+        for d in range(dim):
+            out[f"vec{d}"] = cx.sum(w * R[d], fluid_j | rigid_j)
+        return out
 
-    out = run_blocked(kern, env,
-                      {"material": sl["material"], "mass": sl["mass"],
-                       "rest_volume": sl["rest_volume"], "x": pos_slab},
-                      {"pos": p.pos, "x": pos, "dens": dens}, params)
+    out = pair_exec.run(kern, env,
+                        {"material": sl["material"], "mass": sl["mass"],
+                         "rest_volume": sl["rest_volume"], "x": pos_slab},
+                        {"pos": p.pos, "x": pos, "dens": dens}, params)
     denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1) + LAMBDA_EPS
     constraint = dens / params.density0 - 1.0   # deliberately unclamped (PBF.py:77-78)
     lam = -constraint / denom
@@ -75,32 +78,34 @@ def compute_lambda(p, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
 
 def fix_position(p, lam, lam_slab, dens, pos, pos_slab, env, sl, params) -> jnp.ndarray:
     """dx_i = sum_j (lam_i + lam_j + s_corr) gradW * m_j / rho0 (PBF.py:104-131)."""
-    w_q = kernels.W(jnp.asarray(CORR_DELTA_Q * params.support_radius, jnp.float32),
-                    params.support_radius, params.dim, params.kernel_type)
+    dim = params.dim
 
-    def kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params, pos_block=f_c["x"], pos_slab=sl_c["x"])
+    def kern(cx):
+        R, d2, mask = cx.geometry(pos_blk="x", pos_slab="x")
         dist = jnp.sqrt(d2)
-        gradW = kernels.grad_W(R, params.support_radius, params.dim, dist,
-                               params.kernel_type)
+        gw = kernels.grad_W_coef(dist, params.support_radius, params.dim,
+                                 params.kernel_type)
+        w_q = kernels.W(jnp.float32(CORR_DELTA_Q * params.support_radius),
+                        params.support_radius, params.dim, params.kernel_type)
         ratio = kernels.W(dist, params.support_radius, params.dim,
                           params.kernel_type) / jnp.maximum(w_q, 1e-30)
         scorr = -CORR_K * ratio ** 4
-        mat_j = sl_c["material"][:, None, :]
+        mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        lam_i = f_c["lam"][:, :, None]
-        coef = jnp.where(fluid_j, (lam_i + sl_c["lam"][:, None, :] + scorr) *
-                         sl_c["mass"][:, None, :], 0.0) + \
-            jnp.where(rigid_j, (2.0 * lam_i + scorr) *
-                      sl_c["rest_volume"][:, None, :] * params.density0, 0.0)
-        return ctx.sum_w(coef[..., None] * gradW, mask)
+        lam_i = cx.blk("lam")
+        coef = (cx.where(fluid_j, (lam_i + cx.slab("lam") + scorr) *
+                         cx.slab("mass"), 0.0) +
+                cx.where(rigid_j, (2.0 * lam_i + scorr) *
+                         cx.slab("rest_volume") * params.density0, 0.0)) * gw
+        return {f"dx{d}": cx.sum(coef * R[d], mask) for d in range(dim)}
 
-    dx = run_blocked(kern, env,
-                     {"material": sl["material"], "mass": sl["mass"],
-                      "rest_volume": sl["rest_volume"], "x": pos_slab,
-                      "lam": lam_slab},
-                     {"pos": p.pos, "x": pos, "lam": lam}, params) / params.density0
+    out = pair_exec.run(kern, env,
+                        {"material": sl["material"], "mass": sl["mass"],
+                         "rest_volume": sl["rest_volume"], "x": pos_slab,
+                         "lam": lam_slab},
+                        {"pos": p.pos, "x": pos, "lam": lam}, params)
+    dx = out["dx"] / params.density0
     return jnp.where((p.material == MATERIAL_FLUID)[:, None], dx, 0.0)
 
 

@@ -21,7 +21,8 @@ import numpy as np
 from ..core.params import MATERIAL_FLUID, SimParams
 from ..core.state import SimState
 from ..ops import kernels
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 
@@ -60,22 +61,25 @@ def _density_star_predicted(p, pred_pos, pred_slab, env: PairEnv, sl: dict,
     """rho* from predicted fluid positions; rigid neighbors keep their actual
     positions (PCISPH.py:48-62). Neighbor candidacy still comes from the
     original-position windows, like the reference's for_all_neighbors."""
-    def kern(ctx, sl_c, f_c):
-        _, _, mask = ctx.geometry(params)          # candidacy: original pos
-        fluid_j = (sl_c["material"] == MATERIAL_FLUID)[:, None, :]
-        pos_j = jnp.where(fluid_j[..., None], sl_c["pred"][:, None, :, :],
-                          ctx.pos_slab[:, None, :, :])
-        Rp = f_c["pred"][:, :, None, :] - pos_j
-        d2p = jnp.sum(Rp * Rp, axis=-1)
+    dim = params.dim
+
+    def kern(cx):
+        _, _, mask = cx.geometry()                 # candidacy: original pos
+        fluid_j = cx.slab("material") == MATERIAL_FLUID
+        d2p = 0.0
+        for d in range(dim):
+            pj = cx.where(fluid_j, cx.slab(f"pred{d}"), cx.slab(f"pos{d}"))
+            rp = cx.blk(f"pred{d}") - pj
+            d2p = d2p + rp * rp
         W = kernels.W(jnp.sqrt(d2p), params.support_radius, params.dim,
                       params.kernel_type)
-        return ctx.sum_w(sl_c["rest_volume"][:, None, :] * W, mask)
+        return {"s": cx.sum(cx.slab("rest_volume") * W, mask)}
 
-    ratio = run_blocked(
+    ratio = pair_exec.run(
         kern, env,
         {"material": sl["material"], "rest_volume": sl["rest_volume"],
          "pred": pred_slab},
-        {"pos": p.pos, "pred": pred_pos}, params)
+        {"pos": p.pos, "pred": pred_pos}, params)["s"]
     fluid_i = p.material == MATERIAL_FLUID
     star = jnp.where(fluid_i, ratio * params.density0, 0.0)
     nf = jnp.maximum(jnp.sum(fluid_i), 1)

@@ -4,7 +4,7 @@ Physics matches the reference's implicit solver (base_solver.py:280-518),
 itself after Weiler et al. 2018 "A Physically Consistent Implicit Viscosity
 Solver for SPH Fluids":
 
-- system matrix rows A_ij = c_ij * (gradW ⊗ R) with the fluid/rigid
+- system matrix rows A_ij = c_ij * (gradW (x) R) with the fluid/rigid
   coefficient split (base_solver.py:348-371)
 - block-diagonal preconditioner D_i^-1 (base_solver.py:301-308)
 - rigid contribution folded into b (base_solver.py:334-346)
@@ -16,9 +16,8 @@ Solver for SPH Fluids":
 
 TPU-native: the CG driver is a ``lax.while_loop`` with on-device dot products
 (the reference reads the residual back to the host every iteration); each
-matvec is one slab re-pack of the search direction plus a chunked dense pair
-reduction — the A_ij structure (scalar c_ij times gradW⊗R) means no
-(pairs, 3, 3) matrices ever materialize.
+matvec is one component pair pass (ops/pair_exec.py) — the A_ij structure
+(scalar c_ij times gradW (x) R) means no (pairs, 3, 3) matrices materialize.
 """
 from __future__ import annotations
 
@@ -29,7 +28,8 @@ import jax.numpy as jnp
 
 from ..core.params import MATERIAL_FLUID, MATERIAL_RIGID, SimParams
 from ..core.state import ParticleState, RigidState, SimState
-from ..ops.pairs import PairEnv, run_blocked, slab_pack
+from ..ops import pair_exec
+from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 
@@ -38,72 +38,87 @@ def implicit_viscosity_solve(
     env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[ParticleState, RigidState, SimState]:
     """Solve (I - dt/rho0 A) v_new = b, then fold the result into the
-    acceleration. Returns (particles with updated acc, rigid with wrench,
-    state with next warm start)."""
+    acceleration."""
+    dim = params.dim
     fluid_i = p.material == MATERIAL_FLUID
     fmask = fluid_i[:, None]
     dt_rho = params.dt / params.density0
     d2c = 2.0 * (params.dim + 2)
-    rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
+    inv_rho_i = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
 
-    def _cij(ctx, sl_c, f_c, d2, mask):
-        """A_ij = c * (gradW ⊗ R) coefficient (base_solver.py:348-371)."""
+    def cij(cx, d2, mask):
+        """A_ij = c * (gradW (x) R) coefficient (base_solver.py:348-371)."""
         denom = d2 + 0.01 * params.support_radius ** 2
-        mat_j = sl_c["material"][:, None, :]
+        inv_denom = 1.0 / denom
+        mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        rho_j = jnp.maximum(sl_c["density"], 1e-12)[:, None, :]
-        rho_i = f_c["rho_i"][:, :, None]
-        m_ij = 0.5 * (f_c["mass"][:, :, None] + sl_c["mass"][:, None, :])
-        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
-        c_f = -d2c * params.viscosity * m_ij / rho_j / denom
-        c_b = -d2c * params.viscosity_b * m_b / rho_i / denom
-        return (jnp.where(fluid_j, c_f, 0.0) + jnp.where(rigid_j, c_b, 0.0),
-                fluid_j, rigid_j)
+        rho_j = cx.slab("density")
+        rho_j = cx.where(rho_j > 0, rho_j, 1.0)
+        m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
+        m_b = params.density0 * cx.slab("rest_volume")
+        c_f = -d2c * params.viscosity * m_ij / rho_j * inv_denom
+        c_b = -d2c * params.viscosity_b * m_b * cx.blk("inv_rho_i") * inv_denom
+        return (cx.where(fluid_j, c_f, 0.0) + cx.where(rigid_j, c_b, 0.0),
+                fluid_j, rigid_j, inv_denom)
 
     base_slabs = {"material": sl["material"], "density": sl["density"],
                   "mass": sl["mass"], "rest_volume": sl["rest_volume"],
                   "vel": sl["vel"]}
-    base_fields = {"pos": p.pos, "rho_i": rho_i_safe, "mass": p.mass}
+    base_fields = {"pos": p.pos, "inv_rho_i": inv_rho_i, "mass": p.mass}
 
     # --- preconditioner D_i + rhs b in one pass ------------------------------
-    def prep_kern(ctx, sl_c, f_c):
-        R, d2, mask = ctx.geometry(params)
-        gradW = common._gradwfn(R, d2, params)
-        c, fluid_j, rigid_j = _cij(ctx, sl_c, f_c, d2, mask)
-        outer = gradW[..., :, None] * R[..., None, :]
-        A_sum = ctx.sum_w(c[..., None, None] * outer, mask)
+    def prep_kern(cx):
+        R, d2, mask = cx.geometry()
+        gw = common._gw_coef(d2, params)
+        c, fluid_j, rigid_j, inv_denom = cij(cx, d2, mask)
+        cg = c * gw
+        out = {}
+        # sum_j A_ij = sum_j cg * (R (x) R): symmetric dim x dim per particle
+        ax = "xyz"
+        for a in range(dim):
+            for b2 in range(a, dim):
+                out[f"A{ax[a]}{ax[b2]}"] = cx.sum(cg * R[a] * R[b2], mask)
         # rigid neighbors move b (base_solver.py:334-346)
-        denom = d2 + 0.01 * params.support_radius ** 2
-        v_dot_R = jnp.sum(sl_c["vel"][:, None, :, :] * R, axis=-1)
-        m_b = params.density0 * sl_c["rest_volume"][:, None, :]
-        cb = d2c * params.viscosity_b * m_b / f_c["rho_i"][:, :, None] * \
-            v_dot_R / denom
-        b_rigid = ctx.sum_w(jnp.where(rigid_j[..., None],
-                                      cb[..., None] * gradW, 0.0), rigid_j)
-        return dict(A_sum=A_sum, b_rigid=b_rigid)
+        vs = cx.vec_slab("vel")
+        v_dot_R = sum(vs[d] * R[d] for d in range(dim))
+        cb = d2c * params.viscosity_b * params.density0 * \
+            cx.slab("rest_volume") * cx.blk("inv_rho_i") * v_dot_R * \
+            inv_denom * gw
+        cb = cx.where(rigid_j, cb, 0.0)
+        for d in range(dim):
+            out[f"br{d}"] = cx.sum(cb * R[d], rigid_j)
+        return out
 
-    prep = run_blocked(prep_kern, env, base_slabs, base_fields, params)
-    eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
-    D = eye + dt_rho * prep["A_sum"]
+    prep = pair_exec.run(prep_kern, env, base_slabs, base_fields, params)
+    ax = "xyz"
+    A_sum = jnp.zeros((p.pos.shape[0], dim, dim), jnp.float32)
+    for a in range(dim):
+        for b2 in range(a, dim):
+            A_sum = A_sum.at[:, a, b2].set(prep[f"A{ax[a]}{ax[b2]}"])
+            if a != b2:
+                A_sum = A_sum.at[:, b2, a].set(prep[f"A{ax[a]}{ax[b2]}"])
+    eye = jnp.eye(dim, dtype=jnp.float32)[None]
+    D = eye + dt_rho * A_sum
     Dinv = jnp.linalg.inv(D)
     Dinv = jnp.where(fmask[..., None], Dinv, eye)
-    b = jnp.where(fmask, p.vel - params.dt * prep["b_rigid"] / params.density0, 0.0)
+    b = jnp.where(fmask, p.vel - params.dt * prep["br"] / params.density0, 0.0)
 
     def matvec(x):
         """(Ax)_i = x_i + dt/rho0 * Dinv_i sum_{fluid j} (-A_ij) x_j
         (base_solver.py:373-391; only fluid neighbors off-diagonal)."""
-        xs = slab_pack(env, {"x": x})["x"]
+        def kern(cx):
+            R, d2, mask = cx.geometry()
+            gw = common._gw_coef(d2, params)
+            c, fluid_j, _, _ = cij(cx, d2, mask)
+            xs = cx.vec_slab("x")
+            s = sum(R[d] * xs[d] for d in range(dim))
+            contrib = cx.where(fluid_j, -c * gw * s, 0.0)
+            return {f"acc{d}": cx.sum(contrib * R[d], fluid_j)
+                    for d in range(dim)}
 
-        def kern(ctx, sl_c, f_c):
-            R, d2, mask = ctx.geometry(params)
-            gradW = common._gradwfn(R, d2, params)
-            c, fluid_j, _ = _cij(ctx, sl_c, f_c, d2, mask)
-            s = jnp.sum(R * sl_c["x"][:, None, :, :], axis=-1)
-            contrib = jnp.where(fluid_j, -c * s, 0.0)
-            return ctx.sum_w(contrib[..., None] * gradW, fluid_j)
-
-        acc = run_blocked(kern, env, dict(base_slabs, x=xs), base_fields, params)
+        acc = pair_exec.run(kern, env, dict(base_slabs, x=x), base_fields,
+                            params)["acc"]
         out = x + dt_rho * jnp.einsum("nij,nj->ni", Dinv, acc)
         return jnp.where(fmask, out, 0.0)
 
@@ -133,9 +148,9 @@ def implicit_viscosity_solve(
 
     # --- fold into acceleration (base_solver.py:509-517) --------------------
     v_sol = jnp.where(fmask, x, p.vel)
-    v_sol_slab = slab_pack(env, {"v": v_sol})["v"]
+    v_slab = slab_pack(env, {"v": v_sol})["v"]
     a_v, rf, rt = common.viscosity_acceleration_standard(
-        p, v_sol, rigid, env, sl, params, vel_slab=v_sol_slab)
+        p, v_sol, rigid, env, sl, params, vel_slab=v_slab)
     p = p.replace(acc=p.acc + a_v)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     state = state.replace(visc_x=jnp.where(fmask, x - p.vel, 0.0))

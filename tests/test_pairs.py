@@ -59,16 +59,65 @@ def test_slab_pack_round_trip():
     f2 = jnp.stack([f1, f1 * 2, f1 * 3], axis=1)
     m = (jnp.arange(params.n_pad) % 3).astype(jnp.int32)
     sl = pairs.slab_pack(env, {"a": f1, "b": f2, "m": m})
-    assert sl["a"].shape == (env.nb, env.slab_width)
-    assert sl["b"].shape == (env.nb, env.slab_width, 3)
-    assert sl["m"].dtype == jnp.int32
+    assert sl["a"].small.shape == (env.nb, env.slab_width)
+    assert sl["b"].small.shape == (env.nb, env.slab_width, 3)
+    assert sl["m"].small.dtype == jnp.int32
     # spot check: values at valid columns equal field at jidx
-    a = np.asarray(sl["a"]); jidx = np.asarray(env.jidx); v = np.asarray(env.valid)
+    a = np.asarray(sl["a"].small)
+    jidx = np.asarray(env.jidx); v = np.asarray(env.valid)
     np.testing.assert_array_equal(a[v], np.asarray(f1)[jidx[v]])
-    np.testing.assert_array_equal(np.asarray(sl["m"])[v], np.asarray(m)[jidx[v]])
+    np.testing.assert_array_equal(np.asarray(sl["m"].small)[v],
+                                  np.asarray(m)[jidx[v]])
 
 
 def test_overflow_reported_on_tiny_slab():
     params, spos, scells, _ = sorted_setup(4, pair_slab=8)
     env = pairs.make_pair_env(spos, scells, params)
     assert int(env.overflow) > 0
+
+
+def test_bucketing_matches_bruteforce():
+    """Outlier bucketing (domain-box wall sheets span sorted-order gaps)
+    must still find exactly the brute-force neighbor sets."""
+    import jax
+    from sph_project_tpu.utils.config import SimConfig
+    from sph_project_tpu.scene import load_scene
+    from sph_project_tpu.ops import pair_exec
+
+    cfg = SimConfig(config={
+        "Configuration": {
+            "domainStart": [0, 0, 0], "domainEnd": [0.8, 0.6, 0.6],
+            "addDomainBox": True, "particleRadius": 0.01,
+            "density0": 1000, "gravitation": [0, -9.81, 0],
+            "simulationMethod": "wcsph", "viscosityMethod": "standard",
+            "timeStepSize": 5e-4, "viscosity": 0.05,
+        },
+        "FluidBlocks": [{
+            "objectId": 0, "start": [0.1, 0.06, 0.1], "end": [0.35, 0.3, 0.35],
+            "translation": [0, 0, 0], "scale": [1, 1, 1], "velocity": [0, 0, 0],
+            "density": 1000.0, "color": [50, 100, 200], "entryTime": -1.0}],
+    })
+    scene, state = load_scene(config=cfg, neighbor_cap=256)
+    params = scene.params
+    assert params.pair_slab_big > params.pair_slab  # bucketing active
+    p = state.particles
+    active = p.material != 0
+    cells = nb.flat_cell_ids(p.pos, active, params)
+    perm = nb.sort_permutation(cells)
+    p2 = jax.tree.map(
+        lambda a: jnp.stack([a[:, d][perm] for d in range(a.shape[1])], axis=1)
+        if a.ndim == 2 else a[perm], p)
+    env = pairs.make_pair_env(p2.pos, cells[perm], params)
+    assert env.big_ids is not None
+    assert int(env.overflow) == 0
+
+    def count_kernel(cx):
+        _, d2, mask = cx.geometry()
+        return {"cnt": cx.sum(jnp.ones_like(d2), mask)}
+    cnt = np.asarray(pair_exec.run(count_kernel, env, {}, {"pos": p2.pos},
+                                   params)["cnt"]).astype(int)
+    ref = nb.build_neighbors_bruteforce(p2.pos, active[perm], params)
+    a = np.asarray(active[perm])
+    assert int(ref.k_overflow) == 0
+    np.testing.assert_array_equal(cnt[a], np.asarray(ref.count)[a])
+    assert (cnt[~a] == 0).all()
