@@ -83,15 +83,6 @@ def _gw_coef(d2, params):
                                params.dim, params.kernel_type)
 
 
-# vector-form helpers for the ops still on the run_blocked chunk path
-def _wfn(d2, params):
-    return _w_d2(d2, params)
-
-
-def _gradwfn(R, d2, params):
-    return kernels.grad_W(R, params.support_radius, params.dim,
-                          jnp.sqrt(d2), params.kernel_type)
-
 
 # ---------------------------------------------------------------------------
 # Rigid particle pseudo-volume (Akinci boundary sampling)
