@@ -104,6 +104,22 @@ SCENES = {
         "FluidBlocks": [fluid_block(0, (1.12, 1.0, 1.0), (1.88, 12.2, 1.08),
                                     vel=(0.0, -2.2, 0.75))],
     },
+    # emitter scene at reduced resolution: the full-scale reference spec
+    # (2.25M particles, 97% domain-box walls) exceeds one v5e chip's 16 GB
+    # with the current materialized-slab engine; this variant keeps the same
+    # physics at particleRadius 0.015
+    "buckling_emitter_small": {
+        "Configuration": config((4.0, 20.0, 8.0), "dfsph", 1e-3,
+                                visc=1800.0, visc_b=1800.0,
+                                visc_method="implicit", g_upper=2.5,
+                                radius=0.015),
+        "RigidBodies": [
+            rigid_body(1, "./data/models/cookie_bar_small.obj",
+                       (1.5, 0.05, 3.0), scale=(1, 1, 1.5), dynamic=False),
+        ],
+        "FluidBlocks": [fluid_block(0, (1.12, 1.0, 1.0), (1.88, 12.2, 1.08),
+                                    vel=(0.0, -2.2, 0.75))],
+    },
     # rigid-fluid coupling: duck + spheres dropped into a pool
     "coupling_dfsph": {
         "Configuration": config((2.5, 2.5, 2.5), "dfsph", 7e-4, visc=0.5,

@@ -83,7 +83,7 @@ class SimParams:
     # outlier bucketing: blocks whose windows exceed pair_slab rerun with
     # pair_slab_big windows (0 disables); M = NB // pair_big_frac slots
     pair_slab_big: int = 0
-    pair_big_frac: int = 8
+    pair_big_frac: int = 16
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles

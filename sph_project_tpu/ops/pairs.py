@@ -141,9 +141,12 @@ def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
 
 def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
                         params: SimParams, margin: float = 1.4,
-                        round_to: int = 256):
+                        round_to: int = 256,
+                        output_mask: "np.ndarray" = None):
     """(S_small, S_big) for outlier bucketing: S_small covers all but the
-    worst ~1/(2*pair_big_frac) of blocks, S_big covers the max. Returns
+    worst ~1/(2*pair_big_frac) of blocks, S_big covers the max — both over
+    blocks that actually produce output (``output_mask`` per particle; pure
+    static-wall blocks are exempt from bucketing at runtime too). Returns
     S_big = 0 when one tier suffices."""
     import numpy as np
 
@@ -184,16 +187,25 @@ def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
         bhi = hi[: nb * B].reshape(nb, B).max(axis=1)
         block_max = np.maximum(block_max, np.maximum(bhi - blo, 0))
 
+    if output_mask is not None:
+        block_out = output_mask[order][: nb * B].reshape(nb, B).any(axis=1)
+        block_max_out = np.where(block_out, block_max, 1)
+    else:
+        block_out = np.ones(nb, bool)
+        block_max_out = block_max
+
     def rnd(x):
         return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
                    round_to)
 
     # keep the flagged fraction well under the M = NB/pair_big_frac budget
     quant = 1.0 - 0.5 / max(params.pair_big_frac, 2)
-    S_small = rnd(float(np.quantile(block_max, quant)))
-    S_big = rnd(float(block_max.max()))
+    S_small = rnd(float(np.quantile(block_max_out[block_out], quant)))
+    # S_big with extra headroom: fluid redistributes during the run and the
+    # flagged (output) blocks' windows can grow; the overflow counter guards
+    S_big = rnd(float(block_max_out.max()) * 1.5)
     if S_big <= S_small:
-        return S_big, 0
+        return max(S_small, rnd(float(block_max_out.max()))), 0
     return S_small, S_big
 
 
@@ -272,7 +284,8 @@ def unblock(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
-                  params: SimParams) -> PairEnv:
+                  params: SimParams,
+                  needs_output: jnp.ndarray | None = None) -> PairEnv:
     """Build the block windows from sorted cell ids.
 
     Window bounds come from vectorized ``searchsorted`` over the sorted cell
@@ -361,6 +374,11 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     Sb = min(params.pair_slab_big, n)
     if Sb > S:
         maxlen = jnp.max(blen, axis=1)                       # (NB,)
+        if needs_output is not None:
+            # blocks whose rows produce no outputs (e.g. pure static-wall
+            # blocks) need no big-window rerun: their clipped pass-1 sums are
+            # never read, so truncation is harmless
+            maxlen = jnp.where(needs_output, maxlen, 0)
         M = max(1, nb // params.pair_big_frac)
         _, big_ids = jax.lax.top_k(maxlen, M)
         big_ids = big_ids.astype(jnp.int32)

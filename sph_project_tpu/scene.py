@@ -232,7 +232,15 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         pad = np.zeros((params.n_pad - n_particles, dim), np.float32)
         act = np.zeros(params.n_pad, bool)
         act[:n_particles] = True
-        S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act, params)
+        out_mask = np.zeros(params.n_pad, bool)
+        cur = 0
+        for c in chunks:
+            m = c["pos"].shape[0]
+            out_mask[cur:cur + m] = (c["material"] == MATERIAL_FLUID) or \
+                bool(c["dynamic"])
+            cur += m
+        S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act,
+                                       params, output_mask=out_mask)
         params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big, **kw)
 
     # ---- pack into the padded state ---------------------------------------

@@ -52,7 +52,13 @@ class Plumbing:
         visc_x = permute(state.visc_x)
         alpha = state.dfsph_alpha[perm]
         istar = state.iisph_density_star[perm]
-        env = pairs.make_pair_env(p.pos, cells[perm], params)
+        # blocks of pure static-rigid (wall) particles never read their own
+        # pair sums — exempt them from big-window bucketing
+        produces = (p.material == MATERIAL_FLUID) | (p.is_dynamic > 0)
+        needs_output = jnp.any(
+            produces.reshape(-1, params.pair_block), axis=1)
+        env = pairs.make_pair_env(p.pos, cells[perm], params,
+                                  needs_output=needs_output)
         return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
                              iisph_density_star=istar), env
 
@@ -189,8 +195,10 @@ def prepare(state: SimState, params: SimParams) -> SimState:
     state = state.replace(particles=p)
     state, env = Plumbing.neighbor_prep(state, params)
     p = state.particles
-    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    p = common.compute_rigid_particle_volume(p, env, sl, params)
+    if params.has_rigid:
+        # one-time volumes for ALL rigid particles (incl. static walls, whose
+        # blocks are exempt from the dense engine's big-window tier)
+        p = common.compute_rigid_volume_fixedk(p, params)
     state = state.replace(particles=p, cached_neighbors=env)
     if params.simulation_method == "dfsph":
         from .solvers import dfsph

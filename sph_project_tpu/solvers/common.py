@@ -35,9 +35,10 @@ from ..ops import kernels
 from ..ops import pair_exec
 from ..ops.pairs import PairEnv, slab_pack
 
-# slab keys used by the standard per-step passes
-STATIC_SLAB_KEYS = ("vel", "mass", "density", "pressure", "rest_volume",
-                    "material", "object_id", "is_dynamic")
+# slab keys used by the standard per-step passes (pressure slabs are packed
+# by the steps that need them, after the EOS/solve that produces them)
+STATIC_SLAB_KEYS = ("vel", "mass", "density", "rest_volume",
+                    "material", "object_id")
 
 
 def particle_slabs(env: PairEnv, p: ParticleState, keys) -> dict:
@@ -108,6 +109,39 @@ def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
     s = pair_exec.run(kern, env, slabs,
                       {"pos": p.pos, "object_id": p.object_id}, params)["s"]
     denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + s
+    vol = 1.0 / jnp.maximum(denom, 1e-30)
+    # per-step only DYNAMIC rigid particles: static walls keep the volumes
+    # computed at prepare (they never move, so the same-object sums are
+    # constant; the reference recomputes the same value each step)
+    sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper) & \
+        (p.is_dynamic > 0)
+    return p.replace(
+        rest_volume=jnp.where(sel, vol, p.rest_volume),
+        mass=jnp.where(sel, params.density0 * vol, p.mass),
+    )
+
+
+
+
+def compute_rigid_volume_fixedk(p: ParticleState, params: SimParams) -> ParticleState:
+    """Prepare-time Akinci volumes for ALL rigid particles via the fixed-K
+    neighbor-list path (one-time cost; the dense window engine exempts pure
+    static-wall blocks from its big-window tier, so their volumes must be
+    seeded here)."""
+    from ..ops import neighbors as nblib
+
+    active = p.material != 0
+    cells = nblib.flat_cell_ids(p.pos, active, params)
+    # state is already cell-sorted by the caller (neighbor_prep)
+    nbrs = nblib.build_neighbors(p.pos, cells, params)
+    R = p.pos[:, None, :] - p.pos[nbrs.idx]
+    dist = jnp.linalg.norm(R, axis=-1)
+    same = p.object_id[nbrs.idx] == p.object_id[:, None]
+    W = jnp.where(nbrs.mask & same,
+                  kernels.W(dist, params.support_radius, params.dim,
+                            params.kernel_type), 0.0)
+    denom = kernels.W0(params.support_radius, params.dim,
+                       params.kernel_type) + jnp.sum(W, axis=1)
     vol = 1.0 / jnp.maximum(denom, 1e-30)
     sel = (p.material == MATERIAL_RIGID) & (p.pos[:, 1] <= params.g_upper)
     return p.replace(
