@@ -27,6 +27,8 @@ def main():
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--checkpoint_interval", type=int, default=0,
                         help="steps between checkpoints (0 = off)")
+    parser.add_argument("--log_json", default=None,
+                        help="JSONL file for per-step telemetry")
     parser.add_argument("--resume", default=None,
                         help="checkpoint directory to resume from")
     args = parser.parse_args()
@@ -74,30 +76,25 @@ def main():
     print(f"Simulation method: {params.simulation_method}")
     print(f"particles: {params.n_particles}  dt: {dt}  steps: {total_rounds}")
 
-    t_start = time.time()
+    from sph_project_tpu.utils.telemetry import StepTelemetry
+    telem = StepTelemetry(log_file=args.log_json,
+                          print_every=0 if args.quiet else 1)
     start_cnt = int(sim.state.step_count)
     for cnt in range(start_cnt, total_rounds):
         diag = sim.step()
-        if not args.quiet and ("solver_iters" in diag):
-            # the reference prints per-step solver convergence (DFSPH.py:159,243)
-            msg = (f"step {cnt}: iters {int(diag['solver_iters'])} "
-                   f"err {float(diag.get('solver_err', 0)):.4f}")
-            if "div_iters" in diag:
-                msg += (f" | div iters {int(diag['div_iters'])} "
-                        f"err {float(diag['div_err']):.4f}")
-            print(msg)
+        telem.record(diag, cnt, params.n_particles)
         if exporter is not None and cnt % output_interval == 0:
             exporter.dump(sim.state, cnt)
         if args.checkpoint_interval and cnt and cnt % args.checkpoint_interval == 0:
             from sph_project_tpu.io import checkpoint
             checkpoint.save(os.path.join(out_dir, "ckpt"), sim.state)
 
-    elapsed = time.time() - t_start
-    n_steps = total_rounds - start_cnt
-    if n_steps > 0:
-        print(f"Simulation Finished: {n_steps} steps in {elapsed:.1f}s "
-              f"({n_steps / max(elapsed, 1e-9):.1f} steps/s, "
-              f"{n_steps * params.n_particles / max(elapsed, 1e-9):.3g} particle-steps/s)")
+    summ = telem.summary(params.n_particles)
+    telem.close()
+    if summ["steps"] > 0:
+        print(f"Simulation Finished: {summ['steps']} steps in "
+              f"{summ['elapsed_s']}s ({summ['steps_per_s']} steps/s, "
+              f"{summ['particle_steps_per_s']:.3g} particle-steps/s)")
 
 
 if __name__ == "__main__":
