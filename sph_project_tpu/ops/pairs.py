@@ -202,8 +202,10 @@ def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
     quant = 1.0 - 0.5 / max(params.pair_big_frac, 2)
     S_small = rnd(float(np.quantile(block_max_out[block_out], quant)))
     # S_big with extra headroom: fluid redistributes during the run and the
-    # flagged (output) blocks' windows can grow; the overflow counter guards
-    S_big = rnd(float(block_max_out.max()) * 1.5)
+    # flagged (output) blocks' windows can grow (thin streams crossing plane
+    # gaps are the worst case until the sub-block window engine lands);
+    # the overflow counter guards the remainder
+    S_big = rnd(float(block_max_out.max()) * 2.5)
     if S_big <= S_small:
         return max(S_small, rnd(float(block_max_out.max()))), 0
     return S_small, S_big

@@ -236,8 +236,12 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         cur = 0
         for c in chunks:
             m = c["pos"].shape[0]
-            out_mask[cur:cur + m] = (c["material"] == MATERIAL_FLUID) or \
-                bool(c["dynamic"])
+            produces = (c["material"] == MATERIAL_FLUID) or bool(c["dynamic"])
+            if c["material"] == MATERIAL_FLUID and g_upper is not None:
+                # emitter placeholders (above g_upper) produce no pair sums
+                out_mask[cur:cur + m] = c["pos"][:, 1] <= g_upper
+            else:
+                out_mask[cur:cur + m] = produces
             cur += m
         S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act,
                                        params, output_mask=out_mask)

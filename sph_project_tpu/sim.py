@@ -52,9 +52,14 @@ class Plumbing:
         visc_x = permute(state.visc_x)
         alpha = state.dfsph_alpha[perm]
         istar = state.iisph_density_star[perm]
-        # blocks of pure static-rigid (wall) particles never read their own
-        # pair sums — exempt them from big-window bucketing
-        produces = (p.material == MATERIAL_FLUID) | (p.is_dynamic > 0)
+        # exempt output-free blocks from big-window bucketing: static walls
+        # never read their own pair sums, and neither do emitter placeholders
+        # (dynamic rigid slots of a FLUID-material object above g_upper —
+        # they advect ballistically until they convert; base_solver.py:660-666)
+        obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+        dyn_rigid_body = (p.is_dynamic > 0) & \
+            (state.rigid.obj_material[obj] == MATERIAL_RIGID)
+        produces = (p.material == MATERIAL_FLUID) | dyn_rigid_body
         needs_output = jnp.any(
             produces.reshape(-1, params.pair_block), axis=1)
         env = pairs.make_pair_env(p.pos, cells[perm], params,
