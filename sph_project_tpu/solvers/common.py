@@ -294,12 +294,11 @@ def nonpressure_fused(
         v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
         denom = d2 + 0.01 * params.support_radius ** 2
         inv_denom = 1.0 / denom
-        rho_j = cx.slab("density")
-        rho_j = cx.where(rho_j > 0, rho_j, 1.0)
+        inv_rho_j = cx.slab("inv_rho")          # hoisted per-particle 1/rho
         m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
-        coef_f = d2c * params.viscosity * m_ij / rho_j * inv_denom * v_xy
+        coef_f = d2c * params.viscosity * m_ij * inv_rho_j * inv_denom * v_xy
         m_b = params.density0 * cx.slab("rest_volume")
-        coef_b = d2c * params.viscosity_b * m_b * cx.blk("inv_rho_i") * \
+        coef_b = d2c * params.viscosity_b * m_b * cx.blk("inv_rho") * \
             inv_denom * v_xy
         coef = (cx.where(fluid_j, coef_f, 0.0) +
                 cx.where(rigid_j, coef_b, 0.0)) * gw
@@ -309,20 +308,23 @@ def nonpressure_fused(
         # viscosity wrench on the rigid row (base_solver.py:272-278)
         pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
         c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
-            cx.slab("mass") / rho_j * inv_denom * v_xy * gw
+            cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
         c = cx.where(pair_ok, c, 0.0)
         for d in range(dim):
             out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
         return out
 
-    inv_rho_i = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
+    inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
+    inv_rho_slab = jax.tree.map(
+        lambda rho: 1.0 / jnp.where(rho > 0, rho, 1.0), sl["density"])
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
     out = pair_exec.run(
         kern, env,
-        {"vel": sl["vel"], "material": sl["material"], "density": sl["density"],
-         "mass": sl["mass"], "rest_volume": sl["rest_volume"]},
+        {"vel": sl["vel"], "material": sl["material"],
+         "mass": sl["mass"], "rest_volume": sl["rest_volume"],
+         "inv_rho": inv_rho_slab},
         {"pos": p.pos, "vel": p.vel, "mass": p.mass,
-         "rest_volume": p.rest_volume, "inv_rho_i": inv_rho_i,
+         "rest_volume": p.rest_volume, "inv_rho": inv_rho,
          "rigid_dyn": rigid_dyn}, params)
     fluid_i = (p.material == MATERIAL_FLUID)[:, None]
     a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
@@ -358,18 +360,22 @@ def pressure_acceleration(
     obj = jnp.clip(p.object_id, 0, O - 1)
     com_self = rigid.com[obj]
     p_rho2 = pressure / jnp.maximum(p.density * p.density, 1e-12)
+    # hoist p/rho^2 to slab level: one elementwise op on the (NB, 9S) slabs
+    # instead of a division per (block x window) pair (~B=256x more work)
+    p_rho2_slab = jax.tree.map(
+        lambda pr, rho: pr / jnp.maximum(rho * rho, 1e-12),
+        pressure_slab, sl["density"])
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
     def kern(cx):
+        # p/rho^2 is slabbed per particle — no per-pair divisions
         R, d2, mask = cx.geometry()
         gw = _gw_coef(d2, params)
         mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
         p_rho2_i = cx.blk("p_rho2")
-        rho_j = cx.slab("density")
-        term_f = cx.slab("mass") * (
-            p_rho2_i + cx.slab("pressure") / jnp.maximum(rho_j * rho_j, 1e-12))
+        term_f = cx.slab("mass") * (p_rho2_i + cx.slab("p_rho2"))
         term_b = params.density0 * cx.slab("rest_volume") * p_rho2_i
         term = (cx.where(fluid_j, term_f, 0.0) +
                 cx.where(rigid_j, term_b, 0.0)) * gw
@@ -379,10 +385,9 @@ def pressure_acceleration(
             # wrench on rigid row r from fluid i (base_solver.py:178-185):
             # arm uses the FLUID position x_i = x_r - R
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
-            p_rho2_n = cx.slab("pressure") / \
-                jnp.maximum(cx.slab("density") ** 2, 1e-12)
             m_n = params.density0 * cx.slab("rest_volume")
-            c = -(params.density0 * cx.blk("rest_volume")) * p_rho2_n * m_n * gw
+            c = -(params.density0 * cx.blk("rest_volume")) * \
+                cx.slab("p_rho2") * m_n * gw
             f = [cx.where(pair_ok, c * R[d], 0.0) for d in range(dim)]
             arm = [cx.blk(f"pos{d}") - R[d] - cx.blk(f"com{d}")
                    for d in range(dim)]
@@ -395,9 +400,9 @@ def pressure_acceleration(
 
     out = pair_exec.run(
         kern, env,
-        {"material": sl["material"], "density": sl["density"],
+        {"material": sl["material"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
-         "pressure": pressure_slab},
+         "p_rho2": p_rho2_slab},
         {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume,
          "rigid_dyn": rigid_dyn, "com": com_self}, params)
     fluid_i = p.material == MATERIAL_FLUID
