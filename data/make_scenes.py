@@ -120,6 +120,38 @@ SCENES = {
         "FluidBlocks": [fluid_block(0, (1.12, 1.0, 1.0), (1.88, 12.2, 1.08),
                                     vel=(0.0, -2.2, 0.75))],
     },
+    # emitter (coiling): three thin viscous streams falling from a tall
+    # column, gated by gravitationUpper — the final_scene4 class of the
+    # reference (/root/reference/data/scenes/final_scene4.json: domain
+    # 2.5x70x1.2, dfsph + implicit viscosity 800, dt 2e-3, g_upper 2.5,
+    # three 0.06x45.4x0.06 streams at -3.8 m/s)
+    "coiling_emitter": {
+        "Configuration": config((2.5, 70.0, 1.2), "dfsph", 2e-3,
+                                visc=800.0, visc_b=800.0,
+                                visc_method="implicit", g_upper=2.5),
+        "FluidBlocks": [
+            fluid_block(0, (1.22, 2.6, 0.57), (1.28, 48.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+            fluid_block(1, (0.54, 2.6, 0.57), (0.6, 48.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+            fluid_block(2, (1.9, 2.6, 0.57), (1.96, 48.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+        ],
+    },
+    # same coiling physics at a shorter column for quick runs
+    "coiling_emitter_small": {
+        "Configuration": config((2.5, 12.0, 1.2), "dfsph", 2e-3,
+                                visc=800.0, visc_b=800.0,
+                                visc_method="implicit", g_upper=2.5),
+        "FluidBlocks": [
+            fluid_block(0, (1.22, 2.6, 0.57), (1.28, 10.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+            fluid_block(1, (0.54, 2.6, 0.57), (0.6, 10.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+            fluid_block(2, (1.9, 2.6, 0.57), (1.96, 10.0, 0.63),
+                        vel=(0.0, -3.8, 0.0)),
+        ],
+    },
     # rigid-fluid coupling: duck + spheres dropped into a pool
     "coupling_dfsph": {
         "Configuration": config((2.5, 2.5, 2.5), "dfsph", 7e-4, visc=0.5,

@@ -19,13 +19,19 @@ import shutil
 import subprocess
 
 
+RENDER_SCRIPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "rendering_script.py")
+
+
 def render_frame(args_tuple):
-    (frame_dir, eye, target, fov, size, backend, blend_file) = args_tuple
+    (frame_dir, eye, target, fov, size, backend, blend_file,
+     device_type, device_id) = args_tuple
     try:
         if backend == "blender":
+            out = os.path.join(frame_dir, "render.png")
             subprocess.run(
-                ["blender", "-b", blend_file, "--python", "rendering_script.py",
-                 "--", frame_dir],
+                ["blender", "-b", blend_file, "--python", RENDER_SCRIPT,
+                 "--", frame_dir, out, device_type, str(device_id)],
                 check=True, capture_output=True)
             return frame_dir, None
         import numpy as np
@@ -64,6 +70,12 @@ def main():
     ap.add_argument("--num_workers", type=int, default=4)
     ap.add_argument("--backend", choices=["preview", "blender"], default="preview")
     ap.add_argument("--blend_file", default="scene.blend")
+    ap.add_argument("--device_type", default="NONE",
+                    help="Cycles device for the blender backend "
+                         "(OPTIX/CUDA/HIP/METAL/NONE=CPU)")
+    ap.add_argument("--num_devices", type=int, default=1,
+                    help="GPUs to round-robin frames over (blender backend; "
+                         "the reference assigns rank %% num_gpus, render.py:50-57)")
     ap.add_argument("--eye", type=float, nargs=3, default=[3.0, 2.0, 3.0])
     ap.add_argument("--target", type=float, nargs=3, default=[0.5, 0.5, 0.5])
     ap.add_argument("--fov", type=float, default=50.0)
@@ -77,7 +89,9 @@ def main():
         os.path.join(args.input_dir, d) for d in os.listdir(args.input_dir)
         if os.path.isdir(os.path.join(args.input_dir, d)))
     work = [(f, tuple(args.eye), tuple(args.target), args.fov,
-             tuple(args.size), args.backend, args.blend_file) for f in frames]
+             tuple(args.size), args.backend, args.blend_file,
+             args.device_type, rank % max(args.num_devices, 1))
+            for rank, f in enumerate(frames)]
     with multiprocessing.Pool(args.num_workers) as pool:
         for frame, err in pool.imap_unordered(render_frame, work):
             print(f"{'FAILED ' + err if err else 'done'} {frame}")

@@ -35,6 +35,11 @@ def main():
 
     if args.device:
         os.environ["JAX_PLATFORMS"] = args.device
+    platform = os.environ.get("JAX_PLATFORMS")
+    if platform:
+        # this environment's TPU plugin swallows the env var; pin explicitly
+        import jax
+        jax.config.update("jax_platforms", platform)
 
     from sph_project_tpu.scene import load_scene
     from sph_project_tpu.sim import Simulation

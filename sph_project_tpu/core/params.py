@@ -87,6 +87,7 @@ class SimParams:
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
+    rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
     contact_stiffness: float = 1e5
     contact_damping: float = 0.1
     wall_friction: float = 0.1

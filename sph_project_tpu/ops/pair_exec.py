@@ -205,7 +205,14 @@ def _exec_pallas(kern, blocks, slabs_c, meta, row_off, params, interpret):
     B = params.pair_block
     NB = blocks[next(iter(blocks))].shape[0]
     W = meta["jidx"].shape[1]
-    Wt = params.pair_wtile if W % params.pair_wtile == 0 else W
+    # window tile must divide the slab width; fall back to the largest
+    # divisor <= pair_wtile (W = NS*S with S a multiple of 64, so a decent
+    # divisor always exists; an untiled W blows the scoped-VMEM budget)
+    Wt = W
+    for cand in range(min(params.pair_wtile, W), 0, -1):
+        if W % cand == 0:
+            Wt = cand
+            break
     T = W // Wt
     out_shapes = _out_shapes(kern, blocks, slabs_c, params, B, Wt)
     out_names = sorted(out_shapes.keys())

@@ -25,17 +25,21 @@ def _polar_rotation(A: jnp.ndarray) -> jnp.ndarray:
     U, _, Vt = jnp.linalg.svd(A)
     R = U @ Vt
     det = jnp.linalg.det(R)
+    # flip the last column of U where det(R) < 0 (reflection -> rotation)
     fix = jnp.concatenate(
-        [jnp.ones(R.shape[:-1] + (R.shape[-1] - 1,)), det[..., None]], axis=-1)
+        [jnp.ones(det.shape + (R.shape[-1] - 1,)), det[..., None]], axis=-1)
     return (U * fix[..., None, :]) @ Vt
 
 
 def shape_matching_step(
     p: ParticleState, rigid: RigidState, params: SimParams,
 ) -> Tuple[ParticleState, RigidState]:
-    """One projection: gravity-integrate rigid particles freely, fit the
-    best rigid transform per body, snap particles onto it
-    (shape_matching_solver.py:39-98)."""
+    """One projection: integrate rigid particles freely (gravity + the
+    accumulated per-body SPH wrench spread over the body's particles), clamp
+    them to the domain walls, fit the best rigid transform per body, snap
+    particles onto it (shape_matching_solver.py:39-98). Selected per scene
+    via ``"rigidSolver": "shape_matching"``; consumes and zeroes the rigid
+    force/torque accumulators like the default integrator."""
     O = params.max_objects
     dt = params.dt
     g = jnp.asarray(params.gravity, jnp.float32)
@@ -44,9 +48,28 @@ def shape_matching_step(
     obj = jnp.clip(p.object_id, 0, O - 1)
     seg = jnp.where(sel, obj, O)
 
-    # free integration of rigid particles
-    vel = jnp.where(sel[:, None], p.vel + dt * g[None], p.vel)
+    # free integration: gravity + body force at COM + (unit-inertia) torque
+    # as a spin contribution at each particle's arm
+    inv_m = jnp.where(rigid.mass > 0, 1.0 / jnp.maximum(rigid.mass, 1e-12), 0.0)
+    acc = g[None] + rigid.force[obj] * inv_m[obj][:, None]
+    arm = p.pos - rigid.com[obj]
+    if params.dim == 3:
+        spin = jnp.cross(rigid.torque[obj], arm)
+    else:
+        w = rigid.torque[obj][:, 0]
+        spin = jnp.stack([-w * arm[:, 1], w * arm[:, 0]], axis=-1)
+    vel = jnp.where(sel[:, None], p.vel + dt * (acc + spin), p.vel)
     pos = jnp.where(sel[:, None], p.pos + dt * vel, p.pos)
+
+    # wall clamp before the projection: the fitted transform then carries the
+    # contact response (same inset as the integrator's Bullet-style walls)
+    eps = params.padding + params.particle_diameter + params.wall_thickness
+    lo = jnp.asarray(params.domain_start, jnp.float32) + eps
+    hi = jnp.asarray(params.domain_end, jnp.float32) - eps
+    clamped = jnp.clip(pos, lo, hi)
+    hit = (clamped != pos) & sel[:, None]
+    vel = jnp.where(hit, 0.0, vel)
+    pos = jnp.where(sel[:, None], clamped, pos)
 
     # per-body counts and centroids
     w = sel.astype(jnp.float32)
@@ -77,14 +100,29 @@ def shape_matching_step(
     # project particles onto the fitted transform; velocity from the motion
     goal = com[obj] + jnp.einsum("nij,nj->ni", R[obj], q)
     new_vel = (goal - p.pos) / dt
+    # restitution-0 walls: kill the contact-axis velocity of contacting bodies
+    # (the clamp+projection alone would make bounces elastic) and damp the
+    # rest by wall_friction, matching the integrator backend's behavior
+    hit_axis = jnp.stack([
+        jax.ops.segment_max(jnp.where(sel, hit[:, d].astype(jnp.int32), 0),
+                            seg, num_segments=O + 1)[:O]
+        for d in range(params.dim)], axis=-1)                   # (O, dim)
+    body_hit = jnp.any(hit_axis > 0, axis=-1)
+    new_vel = jnp.where(hit_axis[obj] > 0, 0.0, new_vel)
+    new_vel = new_vel * jnp.where(body_hit[obj], 1.0 - params.wall_friction,
+                                  1.0)[:, None]
     p = p.replace(
         pos=jnp.where(sel[:, None], goal, p.pos),
         vel=jnp.where(sel[:, None], new_vel, p.vel),
     )
     active = has & (rigid.is_dynamic > 0)
+    body_vel = (com - rigid.com) / dt
     rigid = rigid.replace(
         com=jnp.where(active[:, None], com, rigid.com),
         com0=jnp.where(active[:, None], com0, rigid.com0),
         rot=jnp.where(active[:, None, None], R, rigid.rot),
+        vel=jnp.where(active[:, None], body_vel, rigid.vel),
+        force=jnp.zeros_like(rigid.force),
+        torque=jnp.zeros_like(rigid.torque),
     )
     return p, rigid

@@ -104,6 +104,7 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         viscosity=_get("viscosity", 0.01),
         simulation_method=_get("simulationMethod", "dfsph"),
         viscosity_method=_get("viscosityMethod", "standard"),
+        rigid_solver=_get("rigidSolver", "integrator"),
         wall_thickness=box_thickness,
     )
     if (cfg.get_cfg("simulationMethod") or "dfsph") == "pbf":
@@ -244,7 +245,8 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
                 out_mask[cur:cur + m] = produces
             cur += m
         S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act,
-                                       params, output_mask=out_mask)
+                                       params, output_mask=out_mask,
+                                       round_to=64)
         params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big, **kw)
 
     # ---- pack into the padded state ---------------------------------------

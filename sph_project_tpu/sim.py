@@ -113,16 +113,23 @@ class Plumbing:
         block every method runs mid-step (e.g. WCSPH.py:39-43)."""
         p, rigid = state.particles, state.rigid
 
+        shape_matching = params.rigid_solver == "shape_matching"
         if params.has_rigid:
             cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env, params)
             rigid = rigid.replace(force=rigid.force + cf,
                                   torque=rigid.torque + ct)
-            rigid = rigidlib.rigid_body_step(p, rigid, params)
+            if shape_matching:
+                from .rigid import shape_matching as smlib  # local: optional path
+                p, rigid = smlib.shape_matching_step(p, rigid, params)
+            else:
+                rigid = rigidlib.rigid_body_step(p, rigid, params)
 
         state = state.replace(particles=p, rigid=rigid)
         state = Plumbing.activate_entries(state, params)
         p, rigid = state.particles, state.rigid
-        if params.has_rigid:
+        if params.has_rigid and not shape_matching:
+            # shape matching already placed its particles; the (com, rot)
+            # renewal is the integrator-backend path (base_solver.py:615-629)
             p = common.renew_rigid_particle_state(p, rigid, params)
         return state.replace(particles=p, rigid=rigid)
 

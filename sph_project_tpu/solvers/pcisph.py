@@ -28,29 +28,35 @@ from . import common
 
 def compute_pcisph_k(params: SimParams) -> float:
     """Stiffness from ideal-lattice kernel-gradient sums (PCISPH.py:128-151).
-    Pure function of static params — evaluated once on the host with numpy."""
+    Pure function of static params — evaluated once on the host with numpy.
+
+    The lattice honors ``params.dim``: in 2D the sums run over a 2D lattice
+    with the 2D kernel normalization. (The reference's kernel hardcodes a 3D
+    lattice, PCISPH.py:141-143, but ships no 2D PCISPH scene; mixing the 2D
+    kernel constant with a 3D lattice would make k inconsistent.)"""
+    import itertools
+
     h = params.support_radius
+    dim = params.dim
     diam = params.particle_diameter * 0.97
     max_i = int(h / diam) + 1
-    sum_grad = np.zeros(3)
+    sum_grad = np.zeros(dim)
     sum_grad2 = 0.0
-    k = 8.0 / math.pi if params.dim == 3 else 40.0 / 7.0 / math.pi
-    k = 6.0 * k / h ** params.dim
+    k = 8.0 / math.pi if dim == 3 else 40.0 / 7.0 / math.pi
+    k = 6.0 * k / h ** dim
     rng = range(-max_i, max_i + 1)
-    for i in rng:
-        for j in rng:
-            for l in rng:
-                x = -np.array([i * diam, j * diam, l * diam])
-                r = np.linalg.norm(x)
-                q = r / h
-                if r < h and r > 1e-5:
-                    if q <= 0.5:
-                        c = k * q * (3.0 * q - 2.0)
-                    else:
-                        c = -k * (1.0 - q) ** 2
-                    g = c * x / (r * h)
-                    sum_grad += g
-                    sum_grad2 += float(g @ g)
+    for idx in itertools.product(rng, repeat=dim):
+        x = -np.asarray(idx, np.float64) * diam
+        r = np.linalg.norm(x)
+        q = r / h
+        if r < h and r > 1e-5:
+            if q <= 0.5:
+                c = k * q * (3.0 * q - 2.0)
+            else:
+                c = -k * (1.0 - q) ** 2
+            g = c * x / (r * h)
+            sum_grad += g
+            sum_grad2 += float(g @ g)
     denom = float(sum_grad @ sum_grad) + sum_grad2
     dtv = params.dt * params.v0
     return -0.5 / (dtv * dtv) / denom

@@ -1,7 +1,13 @@
 """Physics-invariant tests for the solver family (the test strategy the
 reference lacks — SURVEY.md §4): rest-lattice density, dam-break settling
 within solver tolerances, boundary clamping, mass conservation, and
-method-specific telemetry."""
+method-specific telemetry.
+
+Speed notes: each method's dam break runs ONCE per session (module-scope
+cache) and multiple tests assert on the cached result; scenes use
+pair_block=64 so the dense pair engine sizes its windows for the tiny
+particle counts instead of the production defaults.
+"""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -10,6 +16,10 @@ import pytest
 from sph_project_tpu.utils.config import SimConfig
 from sph_project_tpu.scene import load_scene
 from sph_project_tpu import sim as simlib
+
+# pair-engine overrides that fit ~1k-particle test scenes (production
+# defaults size blocks/windows for 100k+)
+FAST = dict(pair_block=64, pair_chunk=32)
 
 
 def dam_break_cfg(method, dim=3, dt=1e-3, visc=0.05, visc_method="standard",
@@ -30,8 +40,8 @@ def dam_break_cfg(method, dim=3, dt=1e-3, visc=0.05, visc_method="standard",
     return SimConfig(config={"Configuration": conf, "FluidBlocks": [blk]})
 
 
-def run_steps(cfg, n):
-    scene, state = load_scene(config=cfg)
+def run_steps(cfg, n, **overrides):
+    scene, state = load_scene(config=cfg, **dict(FAST, **overrides))
     sim = simlib.Simulation(scene, state)
     diag = None
     for _ in range(n):
@@ -39,10 +49,19 @@ def run_steps(cfg, n):
     return scene, sim.state, {k: float(v) for k, v in diag.items()}
 
 
+_RUNS = {}
+
+
+def settled(method, dt=5e-4, steps=40):
+    key = (method, dt, steps)
+    if key not in _RUNS:
+        _RUNS[key] = run_steps(dam_break_cfg(method, dt=dt), steps)
+    return _RUNS[key]
+
+
 @pytest.mark.parametrize("method", ["wcsph", "dfsph", "pcisph", "iisph"])
 def test_dam_break_settles(method):
-    dt = 5e-4
-    scene, state, diag = run_steps(dam_break_cfg(method, dt=dt), 60)
+    scene, state, diag = settled(method)
     p = state.particles
     pos = np.asarray(p.pos)
     f = np.asarray(p.material) == 1
@@ -58,20 +77,20 @@ def test_dam_break_settles(method):
 
 def test_mass_conservation_and_determinism():
     cfg = dam_break_cfg("wcsph", dt=5e-4)
-    scene, state, _ = run_steps(cfg, 30)
+    scene, state, _ = run_steps(cfg, 15)
     p = state.particles
     f = np.asarray(p.material) == 1
     total_mass = np.asarray(p.mass)[f].sum()
     expect = scene.params.n_particles * 1000.0 * scene.params.v0
     np.testing.assert_allclose(total_mass, expect, rtol=1e-5)
     # same scene, same steps -> bitwise identical positions (XLA determinism)
-    _, state2, _ = run_steps(cfg, 30)
+    _, state2, _ = run_steps(cfg, 15)
     np.testing.assert_array_equal(np.asarray(state.particles.pos),
                                   np.asarray(state2.particles.pos))
 
 
 def test_dfsph_density_error_within_tolerance():
-    scene, state, diag = run_steps(dam_break_cfg("dfsph", dt=1e-3), 80)
+    _, _, diag = settled("dfsph")
     # solver_err is avg(rho*-rho0) after the last corrector iteration; the
     # reference tolerance is 1e-4*rho0 = 0.1 (DFSPH.py:20,238)
     assert diag["solver_err"] <= 0.1 + 1e-6
@@ -79,7 +98,7 @@ def test_dfsph_density_error_within_tolerance():
 
 
 def test_wcsph_eos_and_density_clamp():
-    _, state, diag = run_steps(dam_break_cfg("wcsph", dt=5e-4), 40)
+    _, state, _ = settled("wcsph")
     p = state.particles
     f = np.asarray(p.material) == 1
     dens = np.asarray(p.density)[f]
@@ -92,8 +111,8 @@ def test_implicit_viscosity_damps_shear():
     """High implicit viscosity should kill velocities much faster than none."""
     cfg_hi = dam_break_cfg("dfsph", dt=1e-3, visc=500.0, visc_method="implicit")
     cfg_lo = dam_break_cfg("dfsph", dt=1e-3, visc=0.0)
-    _, s_hi, d_hi = run_steps(cfg_hi, 40)
-    _, s_lo, d_lo = run_steps(cfg_lo, 40)
+    _, s_hi, d_hi = run_steps(cfg_hi, 20)
+    _, s_lo, d_lo = run_steps(cfg_lo, 20)
     assert d_hi["vel_max"] < d_lo["vel_max"] * 0.9
     assert np.isfinite(np.asarray(s_hi.particles.vel)).all()
 
@@ -104,7 +123,7 @@ def test_entry_time_activation():
         "objectId": 1, "start": [0.3, 0.3, 0.3], "end": [0.4, 0.4, 0.4],
         "translation": [0, 0, 0], "scale": [1, 1, 1], "velocity": [0, 0, 0],
         "density": 1000.0, "color": [200, 50, 50], "entryTime": 0.01})
-    scene, state = load_scene(config=cfg)
+    scene, state = load_scene(config=cfg, **FAST)
     sim = simlib.Simulation(scene, state)
     def active_of(obj):
         p = sim.state.particles
