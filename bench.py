@@ -31,7 +31,7 @@ import numpy as np
 A100_TAICHI_ESTIMATE = 1.0e7  # particle-steps/sec (see module docstring)
 
 
-def build(n_target: int):
+def build(n_target: int, backend: str | None = None):
     from sph_project_tpu.utils.config import SimConfig
     from sph_project_tpu.scene import load_scene
 
@@ -58,7 +58,8 @@ def build(n_target: int):
             "color": [50, 100, 200], "entryTime": -1.0,
         }],
     })
-    return load_scene(config=cfg)
+    kw = {"pair_backend": backend} if backend else {}
+    return load_scene(config=cfg, **kw)
 
 
 def main():
@@ -67,6 +68,8 @@ def main():
     ap.add_argument("--chunk", type=int, default=25, help="steps per scan dispatch")
     ap.add_argument("--reps", type=int, default=3, help="timed scan dispatches")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--backend", default=None,
+                    help="pair engine override (pallas / pallas_dma / jax)")
     args = ap.parse_args()
 
     import jax
@@ -74,7 +77,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sph_project_tpu import sim as simlib
 
-    scene, state = build(args.n)
+    scene, state = build(args.n, args.backend)
     params = scene.params
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
     float(state.t)  # force completion

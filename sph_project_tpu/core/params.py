@@ -79,19 +79,32 @@ class SimParams:
     pair_slab: int = 512                   # S: window cap per stencil segment
     pair_chunk: int = 8                    # blocks per lax.map chunk (memory cap)
     pair_wtile: int = 768                  # window-axis tile for the Pallas path
-    pair_backend: str = "pallas"           # "pallas" on TPU, "jax" fallback
+    # "auto": kernel-side-DMA engine (pair_dma.py) on TPU, chunked-JAX slab
+    # engine elsewhere; explicit values: "pallas_dma" / "pallas" / "jax"
+    pair_backend: str = "auto"
     # outlier bucketing: blocks whose windows exceed pair_slab rerun with
     # pair_slab_big windows (0 disables); M = NB // pair_big_frac slots
     pair_slab_big: int = 0
     pair_big_frac: int = 16
+    # kernel-side-DMA engine (ops/pair_dma.py; pair_backend == "pallas_dma")
+    pair_dma_group: int = 4                # G: sub-blocks per superblock
+    pair_dma_su: int = 2048                # union window VMEM budget (cols)
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
-    contact_stiffness: float = 1e5
+    contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
+    contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)
     contact_damping: float = 0.1
     wall_friction: float = 0.1
     wall_thickness: float = 0.0            # domain_box_thickness (0.03 w/ addDomainBox)
+
+    def resolved_pair_backend(self) -> str:
+        """Resolve "auto" against the live JAX backend (static under jit)."""
+        if self.pair_backend == "auto":
+            import jax
+            return "pallas_dma" if jax.default_backend() == "tpu" else "pallas"
+        return self.pair_backend
 
     @property
     def num_cells(self) -> int:

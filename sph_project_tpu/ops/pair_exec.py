@@ -205,11 +205,11 @@ def _exec_pallas(kern, blocks, slabs_c, meta, row_off, params, interpret):
     B = params.pair_block
     NB = blocks[next(iter(blocks))].shape[0]
     W = meta["jidx"].shape[1]
-    # window tile must divide the slab width; fall back to the largest
-    # divisor <= pair_wtile (W = NS*S with S a multiple of 64, so a decent
-    # divisor always exists; an untiled W blows the scoped-VMEM budget)
+    # window tile must divide the slab width AND be lane-aligned (multiple of
+    # 128); fall back to the largest such divisor <= pair_wtile (an untiled W
+    # blows the scoped-VMEM budget, a non-128-multiple fails lowering)
     Wt = W
-    for cand in range(min(params.pair_wtile, W), 0, -1):
+    for cand in range(min(params.pair_wtile, W) // 128 * 128, 0, -128):
         if W % cand == 0:
             Wt = cand
             break
@@ -291,15 +291,21 @@ def _exec_jax(kern, blocks, slabs_c, meta, row_off, params):
     return jax.tree.map(lambda y: y.reshape((NB,) + y.shape[2:]), out)
 
 
-def run(kern: Callable, env: PairEnv, slabs: Dict, fields: Dict,
+def run(kern: Callable, env, slabs: Dict, fields: Dict,
         params: SimParams) -> Dict[str, jnp.ndarray]:
     """Execute a component pair kernel: pass 1 over all blocks (small
-    windows), pass 2 over outlier blocks (big windows), merged."""
+    windows), pass 2 over outlier blocks (big windows), merged.
+
+    With a :class:`~.pair_dma.DmaPairEnv` the same kernel body runs through
+    the kernel-side-DMA engine instead (slabs/fields are raw arrays there)."""
+    if hasattr(env, "meta_pack"):
+        from . import pair_dma
+        return pair_dma.run(kern, env, slabs, fields, params)
     assert "pos" in fields, "fields must include 'pos' (center positions)"
     B = params.pair_block
     NB = env.nb
     n = NB * B
-    use_pallas = (params.pair_backend == "pallas" and
+    use_pallas = (params.resolved_pair_backend() == "pallas" and
                   jax.default_backend() == "tpu")
     blocks, ssm, meta_s, blocks_b, sbg, meta_b = prepare_inputs(
         env, slabs, fields, params)

@@ -49,10 +49,11 @@ def rigid_contact_wrench(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Particle-pair penalty contact between *different* rigid bodies.
 
-    A DEM-style stand-in for Bullet's rigid-rigid collision: pairs of rigid
-    particles from different objects closer than one particle diameter push
-    apart with a linear spring + normal damping, accumulated per body over
-    the dense pair windows (ops/pairs.py) — no atomics, no scatters.
+    A DEM-style spring + normal damping accumulated per body over the pair
+    windows. Only the shape-matching backend still uses this (its particles
+    integrate freely, so body-level impulses don't apply); the default
+    integrator resolves contact with :func:`resolve_body_contacts`, which is
+    stable at any stiffness.
     """
     from ..ops import pair_exec
     from ..solvers.common import pair_cross, reduce_wrench
@@ -88,13 +89,151 @@ def rigid_contact_wrench(
     return reduce_wrench(force_pp, torque_pp, p, params)
 
 
+def rigid_contact_data(p: ParticleState, env, params: SimParams) -> dict:
+    """Per-particle contact aggregates between different rigid bodies.
+
+    For every rigid particle i, penetration-weighted sums over neighbors j of
+    *other* rigid bodies within one particle diameter: total weight, unit
+    normal (pointing toward i's body), and the neighbor's object id — the
+    inputs :func:`resolve_body_contacts` reduces into body-pair impulses.
+    """
+    from ..ops import pair_exec
+
+    d0 = params.particle_diameter
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        dist = jnp.sqrt(d2)
+        touching = (cx.blk("material") == MATERIAL_RIGID) & \
+                   (cx.slab("material") == MATERIAL_RIGID) & \
+                   (cx.blk("object_id") != cx.slab("object_id")) & mask & \
+                   (dist < d0)
+        pen = cx.where(touching, d0 - dist, 0.0)
+        inv_dist = 1.0 / jnp.maximum(dist, 1e-9)
+        out = {"w": cx.sum(pen, touching),
+               "objb": cx.sum(pen * cx.slab("object_id"), touching)}
+        for d in range(dim):
+            out[f"n{d}"] = cx.sum(pen * R[d] * inv_dist, touching)
+        return out
+
+    oid = p.object_id.astype(jnp.float32)
+    return pair_exec.run(
+        kern, env,
+        {"material": p.material, "object_id": oid},
+        {"pos": p.pos, "material": p.material, "object_id": oid}, params)
+
+
+def resolve_body_contacts(
+    p: ParticleState, rigid: RigidState, vel: jnp.ndarray,
+    omega: jnp.ndarray, contact: dict, params: SimParams,
+):
+    """Body-pair impulse contact (restitution 0 by default, like Bullet's),
+    replacing the reference's `p.stepSimulation()` contact resolution
+    (bullet_solver.py:158).
+
+    Particle contact records are reduced per ordered body pair (a, b); each
+    pair gets one normal impulse against the relative velocity at the
+    weighted contact point (unit inertia, matching the reference's URDFs) and
+    a mass-split positional de-penetration. Ordered pairs appear twice
+    ((a, b) and (b, a)), so impulses apply at half strength. One Jacobi
+    iteration — stacks settle over steps, singles resolve exactly.
+    """
+    O = params.max_objects
+    dim = params.dim
+    obj = jnp.clip(p.object_id, 0, O - 1)
+    w = contact["w"]
+    has = w > 1e-12
+    # neighbor body id: exact when a particle touches one other body (the
+    # overwhelmingly common case); rounding keeps mixed records in range
+    objb = jnp.clip(jnp.round(contact["objb"] /
+                              jnp.maximum(w, 1e-12)).astype(jnp.int32), 0, O - 1)
+    key = jnp.where(has, obj * O + objb, O * O)
+
+    def seg(x):
+        return jax.ops.segment_sum(jnp.where(has, x, 0.0), key,
+                                   num_segments=O * O + 1)[:O * O]
+
+    W = seg(w)                                             # (O*O,)
+    N = jnp.stack([seg(contact["n"][:, d]) for d in range(dim)], -1)
+    Pt = jnp.stack([seg(w * p.pos[:, d]) for d in range(dim)], -1)
+    cnt = seg(has.astype(jnp.float32))
+
+    active = W > 1e-12
+    Ws = jnp.maximum(W, 1e-12)
+    n_len = jnp.linalg.norm(N, axis=-1)
+    n_hat = N / jnp.maximum(n_len, 1e-12)[:, None]          # points toward a
+    point = Pt / Ws[:, None]
+    pen = Ws / jnp.maximum(cnt, 1.0)                        # mean penetration
+
+    ia = jnp.arange(O * O, dtype=jnp.int32) // O
+    ib = jnp.arange(O * O, dtype=jnp.int32) % O
+
+    def body_dyn(i):
+        return (rigid.is_dynamic[i] > 0) & (rigid.present[i] > 0) & \
+               (rigid.obj_material[i] == MATERIAL_RIGID)
+
+    inv_ma = jnp.where(body_dyn(ia) & (rigid.mass[ia] > 0),
+                       1.0 / jnp.maximum(rigid.mass[ia], 1e-12), 0.0)
+    inv_mb = jnp.where(body_dyn(ib) & (rigid.mass[ib] > 0),
+                       1.0 / jnp.maximum(rigid.mass[ib], 1e-12), 0.0)
+    inv_Ia = jnp.where(body_dyn(ia), 1.0, 0.0)              # unit inertia
+    inv_Ib = jnp.where(body_dyn(ib), 1.0, 0.0)
+
+    from ..solvers.common import pair_cross
+    r_a = point - rigid.com[ia]
+    r_b = point - rigid.com[ib]
+    if dim == 3:
+        va = vel[ia] + jnp.cross(omega[ia], r_a)
+        vb = vel[ib] + jnp.cross(omega[ib], r_b)
+    else:
+        wa, wb = omega[ia][:, 0], omega[ib][:, 0]
+        va = vel[ia] + jnp.stack([-wa * r_a[:, 1], wa * r_a[:, 0]], -1)
+        vb = vel[ib] + jnp.stack([-wb * r_b[:, 1], wb * r_b[:, 0]], -1)
+    vn = jnp.sum((va - vb) * n_hat, axis=-1)                # <0 = closing
+
+    ra_x_n = pair_cross(r_a, n_hat, dim)
+    rb_x_n = pair_cross(r_b, n_hat, dim)
+    K = inv_ma + inv_mb + \
+        jnp.sum(ra_x_n * ra_x_n, -1) * inv_Ia + \
+        jnp.sum(rb_x_n * rb_x_n, -1) * inv_Ib
+    e = params.contact_restitution
+    j = jnp.where(active & (vn < 0.0) & (K > 1e-12),
+                  -(1.0 + e) * vn / jnp.maximum(K, 1e-12), 0.0)
+    j = 0.5 * j                                             # ordered-pair dup
+
+    # positional de-penetration, mass-split, half per ordered pair
+    inv_sum = jnp.maximum(inv_ma + inv_mb, 1e-12)
+    push = jnp.where(active, 0.5 * 0.5 * pen, 0.0)          # relax 0.5
+
+    def to_bodies(idx, vals):
+        return jnp.stack([
+            jax.ops.segment_sum(vals[:, d], idx, num_segments=O + 1)[:O]
+            for d in range(vals.shape[1])], -1)
+
+    dva = j[:, None] * n_hat * inv_ma[:, None]
+    dvb = -j[:, None] * n_hat * inv_mb[:, None]
+    dwa = (j * inv_Ia)[:, None] * ra_x_n
+    dwb = (-j * inv_Ib)[:, None] * rb_x_n
+    dca = (push * inv_ma / inv_sum)[:, None] * n_hat
+    dcb = -(push * inv_mb / inv_sum)[:, None] * n_hat
+
+    d_vel = to_bodies(ia, dva) + to_bodies(ib, dvb)
+    d_om = to_bodies(ia, dwa) + to_bodies(ib, dwb)
+    d_com = to_bodies(ia, dca) + to_bodies(ib, dcb)
+    return vel + d_vel, omega + d_om, d_com
+
+
 def rigid_body_step(
     p: ParticleState, rigid: RigidState, params: SimParams,
+    contact: dict | None = None,
 ) -> RigidState:
-    """Integrate dynamic rigid bodies one dt and resolve wall contact.
+    """Integrate dynamic rigid bodies one dt and resolve contact.
 
     Consumes (and zeroes) the accumulated SPH force/torque, mirroring
-    bullet_solver.py:144-167.
+    bullet_solver.py:144-167 + p.stepSimulation(). Order matches Bullet's
+    semi-implicit Euler: forces -> velocities -> contact impulses ->
+    positions -> walls.
     """
     dt = params.dt
     g = jnp.asarray(params.gravity, jnp.float32)
@@ -105,7 +244,11 @@ def rigid_body_step(
     vel = rigid.vel + dt * (g[None] + rigid.force * inv_m[:, None])
     # unit inertia (URDF ixx=iyy=izz=1): omega_dot = torque
     omega = rigid.omega + dt * rigid.torque
-    com = rigid.com + dt * vel
+    d_com = 0.0
+    if contact is not None:
+        vel, omega, d_com = resolve_body_contacts(
+            p, rigid, vel, omega, contact, params)
+    com = rigid.com + dt * vel + d_com
     if params.dim == 3:
         rot = _rodrigues(omega, dt) @ rigid.rot
     else:

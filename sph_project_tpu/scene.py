@@ -247,7 +247,11 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         S, S_big = estimate_slab_sizes(np.concatenate([all_pos, pad]), act,
                                        params, output_mask=out_mask,
                                        round_to=64)
-        params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big, **kw)
+        from .ops.pair_dma import estimate_su
+        su = estimate_su(np.concatenate([all_pos, pad]), act, params,
+                         output_mask=out_mask)
+        params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big,
+                             pair_dma_su=su, **kw)
 
     # ---- pack into the padded state ---------------------------------------
     state = zeros_state(params)

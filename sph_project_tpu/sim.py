@@ -60,10 +60,15 @@ class Plumbing:
         dyn_rigid_body = (p.is_dynamic > 0) & \
             (state.rigid.obj_material[obj] == MATERIAL_RIGID)
         produces = (p.material == MATERIAL_FLUID) | dyn_rigid_body
-        needs_output = jnp.any(
-            produces.reshape(-1, params.pair_block), axis=1)
-        env = pairs.make_pair_env(p.pos, cells[perm], params,
-                                  needs_output=needs_output)
+        if params.resolved_pair_backend() == "pallas_dma":
+            from .ops import pair_dma
+            env = pair_dma.make_dma_env(p.pos, cells[perm], params,
+                                        needs_output=produces)
+        else:
+            needs_output = jnp.any(
+                produces.reshape(-1, params.pair_block), axis=1)
+            env = pairs.make_pair_env(p.pos, cells[perm], params,
+                                      needs_output=needs_output)
         return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
                              iisph_density_star=istar), env
 
@@ -115,14 +120,18 @@ class Plumbing:
 
         shape_matching = params.rigid_solver == "shape_matching"
         if params.has_rigid:
-            cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env, params)
-            rigid = rigid.replace(force=rigid.force + cf,
-                                  torque=rigid.torque + ct)
             if shape_matching:
-                from .rigid import shape_matching as smlib  # local: optional path
+                # particles integrate freely here, so body-level impulses
+                # don't apply; DEM springs feed the free integration instead
+                cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env, params)
+                rigid = rigid.replace(force=rigid.force + cf,
+                                      torque=rigid.torque + ct)
+                from .rigid import shape_matching as smlib
                 p, rigid = smlib.shape_matching_step(p, rigid, params)
             else:
-                rigid = rigidlib.rigid_body_step(p, rigid, params)
+                contact = rigidlib.rigid_contact_data(p, env, params)
+                rigid = rigidlib.rigid_body_step(p, rigid, params,
+                                                 contact=contact)
 
         state = state.replace(particles=p, rigid=rigid)
         state = Plumbing.activate_entries(state, params)
@@ -228,7 +237,10 @@ class Simulation:
         self.scene = scene
         self.params = scene.params
         self._prepare = jax.jit(functools.partial(prepare, params=self.params))
-        self._step = jax.jit(get_step_fn(self.params))
+        # donate the carried state: without donation the jit holds input AND
+        # output copies of every particle array, which at 1.23M particles is
+        # the difference between fitting one chip's HBM or not
+        self._step = jax.jit(get_step_fn(self.params), donate_argnums=0)
         self.state = self._prepare(state)
 
     def step(self) -> dict:
@@ -237,12 +249,15 @@ class Simulation:
 
     def run(self, n_steps: int) -> dict:
         """Run n_steps fully on device via lax.scan; returns stacked diags."""
-        @functools.partial(jax.jit, static_argnums=1)
-        def scan_steps(state, n):
+        if getattr(self, "_scan", None) is None:
             step_fn = get_step_fn(self.params)
-            def body(s, _):
-                s, d = step_fn(s)
-                return s, d
-            return jax.lax.scan(body, state, None, length=n)
-        self.state, diags = scan_steps(self.state, n_steps)
+
+            @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+            def scan_steps(state, n):
+                def body(s, _):
+                    s, d = step_fn(s)
+                    return s, d
+                return jax.lax.scan(body, state, None, length=n)
+            self._scan = scan_steps
+        self.state, diags = self._scan(self.state, n_steps)
         return diags
