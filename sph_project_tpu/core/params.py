@@ -90,6 +90,11 @@ class SimParams:
     pair_dma_group: int = 4                # G: sub-blocks per superblock
     pair_dma_su: int = 2048                # union window VMEM budget (cols)
 
+    # spatial multi-chip execution (parallel/spatial.py): when set, the step
+    # runs inside shard_map over this mesh axis — global reductions psum, the
+    # pair engine sees halo-extended local arrays
+    spmd_axis: str | None = None
+
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"

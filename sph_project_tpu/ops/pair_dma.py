@@ -259,7 +259,9 @@ class CxDma(Cx):
         self.dim = params.dim
 
     def blk(self, name):
-        return self._b[name].reshape(1, B, 1)
+        # blocks arrive pre-shaped (1, B, 1): the (1, B) -> (1, B, 1) reshape
+        # is a lane->sublane relayout, hoisted to once per sub-block
+        return self._b[name]
 
     def slab(self, name):
         return self._s[name].reshape(1, 1, WT)
@@ -282,7 +284,8 @@ def _probe_shapes(kern, window_names, center_names, params):
         cx = CxDma(b_, s_, z((1, 1, WT), jnp.int32), z((1, B, 1), jnp.int32),
                    z((1, B, 1), jnp.int32), z((1, B, 1), jnp.int32), params)
         return kern(cx)
-    bs = {k: jax.ShapeDtypeStruct((1, B), jnp.float32) for k in center_names}
+    bs = {k: jax.ShapeDtypeStruct((1, B, 1), jnp.float32)
+          for k in center_names}
     ss = {k: jax.ShapeDtypeStruct((1, WT), jnp.float32) for k in window_names}
     return jax.eval_shape(probe, bs, ss)
 
@@ -337,7 +340,7 @@ def _kernel(meta_ref, fmat, bmat, *rest, kern, out_names, window_rows,
 
     def sub_block(g_i, _):
         coff = pl.multiple_of(g_i * B, 128)
-        blocks = {name: cen[r:r + 1, pl.ds(coff, B)].reshape(1, B)
+        blocks = {name: cen[r:r + 1, pl.ds(coff, B)].reshape(1, B, 1)
                   for name, r in center_rows.items()}
         gidx = (sb * SB + coff +
                 jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1))

@@ -1,0 +1,150 @@
+"""Fast cell-sort permutation of all per-particle fields (TPU Pallas).
+
+The state stays cell-sorted across steps, so each step's new sort permutation
+is NEAR-IDENTITY: most particles keep their slot, cell-crossers move by a few
+rows. XLA's gather can't exploit that (measured 134 ms for the ~21 field
+gathers at 405k on v5e — the single largest step cost after the pair-engine
+rewrite); this kernel can:
+
+- all fields pack into one (F, N) f32 matrix (i32 fields ride as exact f32);
+- each output block of 128 slots DMAs the contiguous source span
+  [min perm, max perm] of its block in 512-wide tiles;
+- a one-hot (tile, 128) matrix ``oh[w, c] = (tile_base + w == perm[c])``
+  turns the permutation into an MXU matmul ``(F, tile) @ (tile, 128)``.
+
+The matmul is BITEXACT: each output column sums exactly one ``v * 1.0``
+product (exact even through the MXU's bf16x3 f32 path) plus zeros. Blocks
+whose span blows up (an x-plane crosser) just run more tiles — slower, never
+wrong.
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pair_exec import _split, _collect
+
+OB = 128      # output block (lanes)
+PT = 512      # DMA tile width
+
+
+def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
+    b = pl.program_id(0)
+    row = jax.lax.rem(b, 8)
+    wstart = meta_ref[row, 0]
+    ntiles = meta_ref[row, 1]
+    perm_b = perm_ref[0, 0, :].reshape(1, OB)               # (1, OB) i32
+
+    def issue(t, _):
+        src = pl.multiple_of(wstart + t * PT, 128)
+        dst = pl.multiple_of(t * PT, 128)
+        pltpu.make_async_copy(fmat.at[:, pl.ds(src, PT)],
+                              win.at[:, pl.ds(dst, PT)], sem).start()
+        return 0
+    jax.lax.fori_loop(0, ntiles, issue, 0, unroll=False)
+
+    def wait(t, _):
+        pltpu.make_async_copy(fmat.at[:, pl.ds(0, PT)],
+                              win.at[:, pl.ds(0, PT)], sem).wait()
+        return 0
+    jax.lax.fori_loop(0, ntiles, wait, 0, unroll=False)
+
+    def tile(t, acc):
+        base = pl.multiple_of(t * PT, 128)
+        w = win[:, pl.ds(base, PT)]                          # (F_pad, PT)
+        idx = (wstart + base +
+               jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0))
+        oh = (idx == perm_b).astype(jnp.float32)             # (PT, OB)
+        return acc + jax.lax.dot_general(
+            w, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, ntiles, tile,
+                            jnp.zeros((F_pad, OB), jnp.float32),
+                            unroll=False)
+    for f, oref in enumerate(out_refs):
+        oref[pl.ds(0, 1), pl.ds(0, 1), :] = acc[f:f + 1, :].reshape(1, 1, OB)
+
+
+def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
+                   interpret: bool | None = None) -> Dict[str, jnp.ndarray]:
+    """Return ``{k: v[perm] for k, v in arrays}`` via the one-hot kernel.
+
+    Arrays may be (N,) f32/i32 or (N, d); N must be a multiple of 128.
+    """
+    n = perm.shape[0]
+    assert n % OB == 0
+    NB = n // OB
+
+    SU = 4096    # VMEM span budget; wider spans spill to the exact fallback
+
+    comps = _split(dict(arrays))
+    names = sorted(comps)
+    F_pad = ((len(names) + 7) // 8) * 8
+    mat = jnp.stack([comps[k].astype(jnp.float32) for k in names], axis=0)
+    mat = jnp.pad(mat, ((0, F_pad - len(names)), (0, SU)))
+
+    pb = perm.reshape(NB, OB)
+    wstart = (jnp.min(pb, axis=1) & ~127).astype(jnp.int32)
+    wend = jnp.max(pb, axis=1) + 1
+    ntiles = ((wend - wstart + PT - 1) // PT).astype(jnp.int32)
+    capped = jnp.minimum(ntiles, SU // PT)
+    nb_pad = ((NB + 7) // 8) * 8
+    meta = jnp.zeros((nb_pad, 128), jnp.int32)
+    meta = meta.at[:NB, 0].set(wstart)
+    meta = meta.at[:NB, 1].set(capped)
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    outs = pl.pallas_call(
+        lambda meta_ref, perm_ref, fmat, *out_refs: _kernel(
+            meta_ref, perm_ref, fmat, *out_refs[:-2],
+            win=out_refs[-2], sem=out_refs[-1], F_pad=F_pad),
+        grid=(NB,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, OB), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, OB), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)] * len(names),
+        out_shape=[jax.ShapeDtypeStruct((NB, 1, OB), jnp.float32)
+                   for _ in names],
+        scratch_shapes=[
+            pltpu.VMEM((F_pad, SU), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(meta, perm.reshape(NB, 1, OB).astype(jnp.int32), mat)
+
+    out = {k: o.reshape(n) for k, o in zip(names, outs)}
+
+    # exact fallback for entries whose source fell outside the capped span:
+    # rare (a block would need a > SU-wide span), handled with a plain gather
+    # on just those slots via a where-select against a full gather only when
+    # any exist — guarded by lax.cond so the gather price is paid only then.
+    covered = (perm >= wstart.repeat(OB)) & \
+              (perm < (wstart + capped * PT).repeat(OB))
+
+    def fix(args):
+        out_v, mat_v = args
+        full = {k: mat_v[i][perm] for i, k in enumerate(names)}
+        return {k: jnp.where(covered, out_v[k], full[k]) for k in names}
+
+    need_fix = jnp.any(~covered)
+    mat_rows = [mat[i, :n] for i in range(len(names))]
+    out = jax.lax.cond(need_fix, fix, lambda a: a[0], (out, mat_rows))
+
+    merged = _collect(dict(out), n)
+    res = {}
+    for k, v in arrays.items():
+        m = merged[k]
+        res[k] = m.astype(v.dtype) if m.dtype != v.dtype else m
+    return res

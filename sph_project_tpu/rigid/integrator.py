@@ -158,6 +158,9 @@ def resolve_body_contacts(
     N = jnp.stack([seg(contact["n"][:, d]) for d in range(dim)], -1)
     Pt = jnp.stack([seg(w * p.pos[:, d]) for d in range(dim)], -1)
     cnt = seg(has.astype(jnp.float32))
+    if params.spmd_axis:
+        W, N, Pt, cnt = (jax.lax.psum(x, params.spmd_axis)
+                         for x in (W, N, Pt, cnt))
 
     active = W > 1e-12
     Ws = jnp.maximum(W, 1e-12)
@@ -276,6 +279,9 @@ def rigid_body_step(
     x_masked_max = jnp.where(is_body[:, None], x_new, -big)
     bmin = jax.ops.segment_min(x_masked_min, seg, num_segments=O + 1)[:O]
     bmax = jax.ops.segment_max(x_masked_max, seg, num_segments=O + 1)[:O]
+    if params.spmd_axis:
+        bmin = jax.lax.pmin(bmin, params.spmd_axis)
+        bmax = jax.lax.pmax(bmax, params.spmd_axis)
 
     pen_lo = jnp.maximum(lo[None] - bmin, 0.0)      # (O, dim)
     pen_hi = jnp.maximum(bmax - hi[None], 0.0)

@@ -72,26 +72,29 @@ def shape_matching_step(
     pos = jnp.where(sel[:, None], clamped, pos)
 
     # per-body counts and centroids
+    def gsum(x):
+        return jax.lax.psum(x, params.spmd_axis) if params.spmd_axis else x
+
     w = sel.astype(jnp.float32)
-    cnt = jax.ops.segment_sum(w, seg, num_segments=O + 1)[:O]
+    cnt = gsum(jax.ops.segment_sum(w, seg, num_segments=O + 1)[:O])
     cnt_safe = jnp.maximum(cnt, 1.0)
-    com = jnp.stack([
+    com = gsum(jnp.stack([
         jax.ops.segment_sum(jnp.where(sel, pos[:, d], 0.0), seg, O + 1)[:O]
-        for d in range(params.dim)], axis=-1) / cnt_safe[:, None]
-    com0 = jnp.stack([
+        for d in range(params.dim)], axis=-1)) / cnt_safe[:, None]
+    com0 = gsum(jnp.stack([
         jax.ops.segment_sum(jnp.where(sel, p.rigid_rest_pos[:, d], 0.0),
                             seg, O + 1)[:O]
-        for d in range(params.dim)], axis=-1) / cnt_safe[:, None]
+        for d in range(params.dim)], axis=-1)) / cnt_safe[:, None]
 
     # covariance A = sum (x - com)(q - com0)^T per body
     q = p.rigid_rest_pos - com0[obj]
     x = pos - com[obj]
-    A = jnp.stack([
+    A = gsum(jnp.stack([
         jnp.stack([
             jax.ops.segment_sum(jnp.where(sel, x[:, i] * q[:, j], 0.0),
                                 seg, O + 1)[:O]
             for j in range(params.dim)], axis=-1)
-        for i in range(params.dim)], axis=-2)                 # (O, d, d)
+        for i in range(params.dim)], axis=-2))                # (O, d, d)
     has = cnt > 0
     eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
     A = jnp.where(has[:, None, None], A, eye)
@@ -107,6 +110,8 @@ def shape_matching_step(
         jax.ops.segment_max(jnp.where(sel, hit[:, d].astype(jnp.int32), 0),
                             seg, num_segments=O + 1)[:O]
         for d in range(params.dim)], axis=-1)                   # (O, dim)
+    if params.spmd_axis:
+        hit_axis = jax.lax.pmax(hit_axis, params.spmd_axis)
     body_hit = jnp.any(hit_axis > 0, axis=-1)
     new_vel = jnp.where(hit_axis[obj] > 0, 0.0, new_vel)
     new_vel = new_vel * jnp.where(body_hit[obj], 1.0 - params.wall_friction,

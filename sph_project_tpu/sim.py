@@ -41,17 +41,36 @@ class Plumbing:
         cells = nblib.flat_cell_ids(p.pos, active, params)
         perm = nblib.sort_permutation(cells)
 
-        def permute(a):
-            # (N, d) gathers run at tiny-slice (pathological) rate on TPU;
-            # per-column scalar gathers + restack are ~10x faster
-            if a.ndim == 1:
-                return a[perm]
-            return jnp.stack([a[:, d][perm] for d in range(a.shape[1])], axis=1)
+        use_dma = params.resolved_pair_backend() == "pallas_dma"
+        if use_dma and jax.default_backend() == "tpu":
+            # near-identity permutation -> one-hot MXU kernel (ops/permute.py;
+            # XLA's 21 field gathers measured 134 ms at 405k, the kernel ~10x
+            # less). Interpret mode is slower than gathers, so CPU runs of
+            # the DMA backend keep the gather path.
+            from .ops import permute as permlib
+            import dataclasses as _dc
+            arrays = {f.name: getattr(p, f.name)
+                      for f in _dc.fields(type(p))}
+            arrays.update(visc_x=state.visc_x, dfsph_alpha=state.dfsph_alpha,
+                          iisph_density_star=state.iisph_density_star)
+            out = permlib.permute_fields(perm, arrays)
+            visc_x = out.pop("visc_x")
+            alpha = out.pop("dfsph_alpha")
+            istar = out.pop("iisph_density_star")
+            p = p.replace(**out)
+        else:
+            def permute(a):
+                # (N, d) gathers run at tiny-slice (pathological) rate on TPU;
+                # per-column scalar gathers + restack are ~10x faster
+                if a.ndim == 1:
+                    return a[perm]
+                return jnp.stack([a[:, d][perm] for d in range(a.shape[1])],
+                                 axis=1)
 
-        p = jax.tree.map(permute, p)
-        visc_x = permute(state.visc_x)
-        alpha = state.dfsph_alpha[perm]
-        istar = state.iisph_density_star[perm]
+            p = jax.tree.map(permute, p)
+            visc_x = permute(state.visc_x)
+            alpha = state.dfsph_alpha[perm]
+            istar = state.iisph_density_star[perm]
         # exempt output-free blocks from big-window bucketing: static walls
         # never read their own pair sums, and neither do emitter placeholders
         # (dynamic rigid slots of a FLUID-material object above g_upper —
@@ -168,13 +187,17 @@ class Plumbing:
                     params: SimParams, extra: dict | None = None) -> dict:
         p = state.particles
         fluid = p.material == MATERIAL_FLUID
-        nf = jnp.maximum(jnp.sum(fluid), 1)
+        nf = jnp.maximum(common.global_sum(fluid, params), 1)
         d = dict(
-            fluid_num=jnp.sum(fluid),
-            density_avg=jnp.sum(jnp.where(fluid, p.density, 0.0)) / nf,
-            density_max=jnp.max(jnp.where(fluid, p.density, 0.0)),
-            vel_max=jnp.max(jnp.where(fluid[:, None], jnp.abs(p.vel), 0.0)),
-            neighbor_overflow=env.overflow,
+            fluid_num=common.global_sum(fluid, params),
+            density_avg=common.global_sum(
+                jnp.where(fluid, p.density, 0.0), params) / nf,
+            density_max=common.global_max(
+                jnp.where(fluid, p.density, 0.0), params),
+            vel_max=common.global_max(
+                jnp.where(fluid[:, None], jnp.abs(p.vel), 0.0), params),
+            neighbor_overflow=common.global_sum(env.overflow, params).astype(
+                jnp.int32),
         )
         if extra:
             d.update(extra)
@@ -230,17 +253,28 @@ def prepare(state: SimState, params: SimParams) -> SimState:
     return state
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_step(params: SimParams):
+    # donate the carried state: without donation the jit holds input AND
+    # output copies of every particle array, which at 1.23M particles is the
+    # difference between fitting one chip's HBM or not. Cached on the
+    # (hashable) params so re-created Simulations never recompile.
+    return jax.jit(get_step_fn(params), donate_argnums=0)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_prepare(params: SimParams):
+    return jax.jit(functools.partial(prepare, params=params))
+
+
 class Simulation:
     """User-facing driver: holds the jitted step and the scene metadata."""
 
     def __init__(self, scene, state: SimState):
         self.scene = scene
         self.params = scene.params
-        self._prepare = jax.jit(functools.partial(prepare, params=self.params))
-        # donate the carried state: without donation the jit holds input AND
-        # output copies of every particle array, which at 1.23M particles is
-        # the difference between fitting one chip's HBM or not
-        self._step = jax.jit(get_step_fn(self.params), donate_argnums=0)
+        self._prepare = _jitted_prepare(self.params)
+        self._step = _jitted_step(self.params)
         self.state = self._prepare(state)
 
     def step(self) -> dict:

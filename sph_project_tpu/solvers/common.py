@@ -46,6 +46,32 @@ def particle_slabs(env: PairEnv, p: ParticleState, keys) -> dict:
     return slab_pack(env, {k: getattr(p, k) for k in keys})
 
 
+def global_sum(x, params: SimParams):
+    """Sum over all particles — across every shard when the step runs inside
+    shard_map (the solver-loop residuals and CG dot products must agree on
+    every device for the while_loop conditions to stay in lockstep)."""
+    s = jnp.sum(x)
+    if params.spmd_axis:
+        s = jax.lax.psum(s, params.spmd_axis)
+    return s
+
+
+def global_max(x, params: SimParams):
+    m = jnp.max(x)
+    if params.spmd_axis:
+        m = jax.lax.pmax(m, params.spmd_axis)
+    return m
+
+
+def global_wrench(force, torque, params: SimParams):
+    """Per-object wrench tables summed across shards (each shard accumulates
+    only its local particles' contributions)."""
+    if params.spmd_axis:
+        force = jax.lax.psum(force, params.spmd_axis)
+        torque = jax.lax.psum(torque, params.spmd_axis)
+    return force, torque
+
+
 def pair_cross(a: jnp.ndarray, b: jnp.ndarray, dim: int) -> jnp.ndarray:
     """Cross product with the 2D scalar-torque convention."""
     if dim == 3:
@@ -71,7 +97,7 @@ def reduce_wrench(
         jax.ops.segment_sum(jnp.where(sel, torque_pp[:, d], 0.0), seg,
                             num_segments=O + 1)[:O]
         for d in range(torque_pp.shape[1])], axis=-1)
-    return force, torque
+    return global_wrench(force, torque, params)
 
 
 def _w_d2(d2, params):
@@ -237,14 +263,16 @@ def viscosity_acceleration_standard(
                 cx.where(rigid_j, coef_b, 0.0)) * gw
         out = {f"acc{d}": cx.sum(coef * R[d], mask) for d in range(dim)}
 
-        # wrench accumulated on the RIGID row r (pair symmetry;
-        # base_solver.py:272-278)
-        pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
-        c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
-            cx.slab("mass") / rho_j / denom * v_xy * gw
-        c = cx.where(pair_ok, c, 0.0)
-        for d in range(dim):
-            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        if params.has_rigid:
+            # wrench accumulated on the RIGID row r (pair symmetry;
+            # base_solver.py:272-278)
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+                (cx.blk("rigid_dyn") > 0)
+            c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
+                cx.slab("mass") / rho_j / denom * v_xy * gw
+            c = cx.where(pair_ok, c, 0.0)
+            for d in range(dim):
+                out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
         return out
 
     rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
@@ -257,6 +285,8 @@ def viscosity_acceleration_standard(
          "rho_i_safe": rho_i_safe, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
     a = jnp.where(fluid_i[:, None], out["acc"] / params.density0, 0.0)
+    if not params.has_rigid:
+        return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
     torque_pp = pair_cross(arm, out["fpp"], params.dim)
@@ -305,13 +335,15 @@ def nonpressure_fused(
         for d in range(dim):
             out[f"acc{d}"] = cx.sum(coef * R[d], mask)
 
-        # viscosity wrench on the rigid row (base_solver.py:272-278)
-        pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
-        c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
-            cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
-        c = cx.where(pair_ok, c, 0.0)
-        for d in range(dim):
-            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        if params.has_rigid:
+            # viscosity wrench on the rigid row (base_solver.py:272-278)
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+                (cx.blk("rigid_dyn") > 0)
+            c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
+                cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
+            c = cx.where(pair_ok, c, 0.0)
+            for d in range(dim):
+                out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
         return out
 
     inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
@@ -329,6 +361,8 @@ def nonpressure_fused(
     fluid_i = (p.material == MATERIAL_FLUID)[:, None]
     a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
     a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
+    if not params.has_rigid:
+        return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
     torque_pp = pair_cross(arm, out["fpp"], params.dim)

@@ -159,15 +159,16 @@ def _correction(
         out = {f"dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
                for d in range(dim)}
 
-        # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
-        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-            (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
-        c = -cx.blk("rest_volume") * kr_j * \
-            params.density0 / params.dt * \
-            (cx.slab("rest_volume") * params.density0) * gw
-        c = cx.where(pair_ok, c, 0.0)
-        for d in range(dim):
-            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+        if params.has_rigid:
+            # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+                (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
+            c = -cx.blk("rest_volume") * kr_j * \
+                params.density0 / params.dt * \
+                (cx.slab("rest_volume") * params.density0) * gw
+            c = cx.where(pair_ok, c, 0.0)
+            for d in range(dim):
+                out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
         return out
 
     k_rho = kappa / jnp.maximum(p.density, 1e-12)
@@ -179,6 +180,8 @@ def _correction(
          "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
     dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
+    if not params.has_rigid:
+        return dv, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
     torque_pp = common.pair_cross(arm, out["fpp"], params.dim)
@@ -186,11 +189,12 @@ def _correction(
     return dv, force, torque
 
 
-def _avg_over_active(x: jnp.ndarray, p: ParticleState) -> jnp.ndarray:
+def _avg_over_active(x: jnp.ndarray, p: ParticleState,
+                     params: SimParams) -> jnp.ndarray:
     """Reference averages errors over *all* active particles, not just fluid
     (DFSPH.py:205-211, 285-294 divide by particle_num)."""
-    n = jnp.maximum(jnp.sum(p.material != MATERIAL_NONE), 1)
-    return jnp.sum(x) / n
+    n = jnp.maximum(common.global_sum(p.material != MATERIAL_NONE, params), 1)
+    return common.global_sum(x, params) / n
 
 
 def correct_density_error(
@@ -215,7 +219,8 @@ def correct_density_error(
         vs = slab_pack(env, {"v": vel})["v"]
         star = compute_density_star(p, vel, vs, env, sl, params)
         err = _avg_over_active(
-            star - jnp.where(p.material == MATERIAL_FLUID, 1.0, 0.0), p)
+            star - jnp.where(p.material == MATERIAL_FLUID, 1.0, 0.0), p,
+            params)
         return vel, star, rf + f, rt + tq, itr + 1, err
 
     init = (p.vel, star0, jnp.zeros_like(rigid.force),
@@ -246,7 +251,7 @@ def correct_divergence_error(
         vel = vel + dv
         vs = slab_pack(env, {"v": vel})["v"]
         deriv = compute_density_derivative(p, vel, vs, env, sl, params)
-        err = _avg_over_active(params.density0 * deriv, p)
+        err = _avg_over_active(params.density0 * deriv, p, params)
         return vel, deriv, rf + f, rt + tq, itr + 1, err
 
     init = (p.vel, deriv0, jnp.zeros_like(rigid.force),

@@ -87,7 +87,7 @@ def refine(p, dii, aii, density_star, env, sl, params):
     """Relaxed-Jacobi pressure iteration (IISPH.py:124-200)."""
     dim = params.dim
     fluid_i = p.material == MATERIAL_FLUID
-    nf = jnp.maximum(jnp.sum(fluid_i), 1)
+    nf = jnp.maximum(common.global_sum(fluid_i, params), 1)
     dpi = params.density0 * p.rest_volume / jnp.maximum(jnp.square(p.density), 1e-12)
     si = params.density0 - density_star
     dii_slab = slab_pack(env, {"dii": dii})["dii"]
@@ -148,7 +148,7 @@ def refine(p, dii, aii, density_star, env, sl, params):
         new_p = jnp.where(can, jnp.maximum(new_p, 0.0), 0.0)
         new_p = jnp.where(fluid_i, new_p, 0.0)
         resid = jnp.where(fluid_i & (new_p > 1e-10), aii * new_p + sum_i - si, 0.0)
-        err = jnp.sum(resid) / nf / params.density0
+        err = common.global_sum(resid, params) / nf / params.density0
         return new_p, err
 
     def cond(carry):
@@ -184,7 +184,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     p = p.replace(pressure=pressure)
     sl["pressure"] = slab_pack(env, {"pr": pressure})["pr"]
 
-    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
+    acc, rf, rt = common.pressure_acceleration(
+        p, rigid, env, sl, params, with_wrench=params.has_rigid)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     p = common.update_fluid_velocity(p, params)

@@ -88,8 +88,9 @@ def _density_star_predicted(p, pred_pos, pred_slab, env: PairEnv, sl: dict,
         {"pos": p.pos, "pred": pred_pos}, params)["s"]
     fluid_i = p.material == MATERIAL_FLUID
     star = jnp.where(fluid_i, ratio * params.density0, 0.0)
-    nf = jnp.maximum(jnp.sum(fluid_i), 1)
-    err = jnp.sum(jnp.where(fluid_i, jnp.maximum(ratio - 1.0, 0.0), 0.0)) / nf
+    nf = jnp.maximum(common.global_sum(fluid_i, params), 1)
+    err = common.global_sum(
+        jnp.where(fluid_i, jnp.maximum(ratio - 1.0, 0.0), 0.0), params) / nf
     return star, err
 
 
@@ -142,7 +143,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     sl["pressure"] = slab_pack(env, {"pr": pressure})["pr"]
 
     p = common.update_fluid_velocity(p, params)
-    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
+    acc, rf, rt = common.pressure_acceleration(
+        p, rigid, env, sl, params, with_wrench=params.has_rigid)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     p = common.update_fluid_velocity(p, params)

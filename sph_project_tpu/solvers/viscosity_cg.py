@@ -133,12 +133,12 @@ def implicit_viscosity_solve(
     def body(carry):
         x, r, pdir, itr, _ = carry
         Ap = matvec(pdir)
-        rr = jnp.sum(r * r)
-        pAp = jnp.sum(pdir * Ap)
+        rr = common.global_sum(r * r, params)
+        pAp = common.global_sum(pdir * Ap, params)
         alpha = jnp.where(pAp > 1e-18, rr / pAp, 0.0)
         x = x + alpha * pdir
         r_new = r - alpha * Ap
-        rr_new = jnp.sum(r_new * r_new)
+        rr_new = common.global_sum(r_new * r_new, params)
         beta = jnp.where(rr > 1e-18, rr_new / rr, 0.0)
         pdir = r_new + beta * pdir
         return x, r_new, pdir, itr + 1, jnp.sqrt(rr_new)

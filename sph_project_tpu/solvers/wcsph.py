@@ -42,7 +42,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     p = compute_pressure(p, params)
     up = slab_pack(env, {"d": p.density, "pr": p.pressure})
     sl["density"], sl["pressure"] = up["d"], up["pr"]
-    acc, rf, rt = common.pressure_acceleration(p, rigid, env, sl, params)
+    acc, rf, rt = common.pressure_acceleration(
+        p, rigid, env, sl, params, with_wrench=params.has_rigid)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
 

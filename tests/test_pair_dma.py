@@ -83,6 +83,7 @@ def test_dma_matches_jax_backend_wcsph():
     np.testing.assert_allclose(results[0], results[1], atol=2e-6)
 
 
+@pytest.mark.slow
 def test_dma_matches_jax_backend_dfsph_rigid(tmp_path):
     cube = write_cube_obj(str(tmp_path / "cube.obj"))
     results = []

@@ -76,6 +76,7 @@ def test_overflow_reported_on_tiny_slab():
     assert int(env.overflow) > 0
 
 
+@pytest.mark.slow
 def test_bucketing_matches_bruteforce():
     """Outlier bucketing (domain-box wall sheets span sorted-order gaps)
     must still find exactly the brute-force neighbor sets."""

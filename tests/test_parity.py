@@ -76,6 +76,7 @@ def test_wcsph_trajectory_matches_oracle():
     np.testing.assert_allclose(de.max(), orc.density.max(), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_dfsph_matches_oracle_with_iteration_counts():
     sim, orc = build("dfsph", dt=1e-3)
     alpha = dens = None

@@ -123,6 +123,7 @@ def test_pressure_wrench_balances_momentum(cube_obj):
                                atol=2e-5 * scale)
 
 
+@pytest.mark.slow
 def test_rigid_box_falls_and_rests(cube_obj):
     """A dynamic box dropped in vacuum lands on the inset wall and stops
     (the Bullet-wall behavior, bullet_solver.py:53-75)."""
@@ -143,6 +144,7 @@ def test_rigid_box_falls_and_rests(cube_obj):
     assert abs(com[1] - (eps + 0.05)) < 2.5 * scene.params.particle_diameter
 
 
+@pytest.mark.slow
 def test_two_box_collision_conserves_momentum(cube_obj):
     """DEM rigid-rigid contact: a moving box hits a resting one in zero
     gravity; total linear momentum is preserved (the stand-in for Bullet's
@@ -169,6 +171,7 @@ def test_two_box_collision_conserves_momentum(cube_obj):
     np.testing.assert_allclose(p1, p0, atol=0.08 * np.linalg.norm(p0) + 1e-8)
 
 
+@pytest.mark.slow
 def test_coupling_scene_runs_bounded(cube_obj):
     """1 fluid block + 2 dynamic rigids under DFSPH stays finite and inside
     the domain (the final_scene1 workload class at test scale)."""
@@ -193,6 +196,7 @@ def test_coupling_scene_runs_bounded(cube_obj):
     assert (com > 0).all() and (com < 0.6).all(), f"rigid escaped: {com}"
 
 
+@pytest.mark.slow
 def test_shape_matching_backend_stays_rigid(cube_obj):
     """rigidSolver=shape_matching: a falling box lands and its particle cloud
     stays rigid (pairwise extent preserved) — the alternative backend the

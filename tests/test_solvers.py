@@ -107,6 +107,7 @@ def test_wcsph_eos_and_density_clamp():
     assert (pres >= -1e-3).all()                   # EOS >= 0 at rho >= rho0
 
 
+@pytest.mark.slow
 def test_implicit_viscosity_damps_shear():
     """High implicit viscosity should kill velocities much faster than none."""
     cfg_hi = dam_break_cfg("dfsph", dt=1e-3, visc=500.0, visc_method="implicit")
@@ -117,6 +118,7 @@ def test_implicit_viscosity_damps_shear():
     assert np.isfinite(np.asarray(s_hi.particles.vel)).all()
 
 
+@pytest.mark.slow
 def test_entry_time_activation():
     cfg = dam_break_cfg("wcsph", dt=1e-3)
     cfg.config["FluidBlocks"].append({
