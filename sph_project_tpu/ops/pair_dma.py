@@ -101,10 +101,13 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     counts = jax.ops.segment_sum(
         jnp.ones_like(cells_sorted, dtype=jnp.int32), cells_sorted,
         num_segments=ncells + 1)
-    table = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(counts).astype(jnp.int32)])
+    # negative ids (not-received halo slots under spatial decomposition) are
+    # dropped from the histogram but occupy leading slots; shift the table
+    front_invalid = jnp.sum((cells_sorted < 0).astype(jnp.int32))
+    table = front_invalid + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
 
-    live = cells_sorted < ncells
+    live = (cells_sorted < ncells) & (cells_sorted >= 0)
     if dim == 3:
         cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
         ylo = jnp.maximum(cy - 1, 0)

@@ -298,6 +298,9 @@ def run(kern: Callable, env, slabs: Dict, fields: Dict,
 
     With a :class:`~.pair_dma.DmaPairEnv` the same kernel body runs through
     the kernel-side-DMA engine instead (slabs/fields are raw arrays there)."""
+    if hasattr(env, "halo"):          # SpatialEnv (parallel/spatial.py)
+        from ..parallel import spatial
+        return spatial.spatial_run(kern, env, slabs, fields, params)
     if hasattr(env, "meta_pack"):
         from . import pair_dma
         return pair_dma.run(kern, env, slabs, fields, params)

@@ -266,7 +266,9 @@ def slab_pack(env, fields: dict) -> dict:
     Returns :class:`SlabField` values carrying the pass-2 (outlier) windows
     too when bucketing is active.
     """
-    if hasattr(env, "meta_pack"):      # DmaPairEnv: raw fields pass through
+    if hasattr(env, "meta_pack") or hasattr(env, "halo"):
+        # DmaPairEnv / SpatialEnv: raw fields pass through (windows are
+        # fetched by the kernel / extended per pass)
         return dict(fields)
     ns = env.starts.shape[1]
     S = env.slab_width // ns
@@ -318,9 +320,12 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     ncxy = cxy[:, None, :] + off[None]                      # (N, NS, dim-1)
     lims = jnp.asarray(g[:-1], jnp.int32)
     seg_ok = jnp.all((ncxy >= 0) & (ncxy < lims), axis=-1)  # (N, NS)
-    # inactive (sentinel-cell) particles get empty windows — their clamped
-    # coords would otherwise stretch tail-block windows across the array
-    seg_ok = seg_ok & (cells_sorted < params.num_cells)[:, None]
+    # inactive particles get empty windows — their clamped coords would
+    # otherwise stretch tail-block windows across the array. Sentinels
+    # (num_cells) sit at the tail; negative ids mark not-received halo slots
+    # at the FRONT under spatial decomposition (parallel/spatial.py)
+    seg_ok = seg_ok & (cells_sorted < params.num_cells)[:, None] & \
+        (cells_sorted >= 0)[:, None]
     zlo = jnp.maximum(cz - 1, 0)
     zhi = jnp.minimum(cz + 1, g[-1] - 1)
     if dim == 3:
@@ -335,8 +340,11 @@ def make_pair_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     ones = jnp.ones_like(cells_sorted, dtype=jnp.int32)
     counts = jax.ops.segment_sum(ones, cells_sorted,
                                  num_segments=params.num_cells + 1)
-    table = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                             jnp.cumsum(counts).astype(jnp.int32)])
+    # negative ids are dropped from the histogram but still occupy leading
+    # array slots; shift the position table past them
+    front_invalid = jnp.sum((cells_sorted < 0).astype(jnp.int32))
+    table = front_invalid + jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
     start = table[jnp.clip(flat_lo, 0, params.num_cells)]
     end = table[jnp.clip(flat_hi, 0, params.num_cells + 1)]
     start = jnp.where(seg_ok, start, n).astype(jnp.int32)

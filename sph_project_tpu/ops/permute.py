@@ -81,7 +81,8 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     assert n % OB == 0
     NB = n // OB
 
-    SU = 4096    # VMEM span budget; wider spans spill to the exact fallback
+    SU = 4096    # VMEM span budget per block
+    K_FIX = 8192  # slots repaired by the sparse exact-fix pass
 
     comps = _split(dict(arrays))
     names = sorted(comps)
@@ -89,11 +90,20 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     mat = jnp.stack([comps[k].astype(jnp.float32) for k in names], axis=0)
     mat = jnp.pad(mat, ((0, F_pad - len(names)), (0, SU)))
 
+    # per-block source span, with outliers CLAMPED out: a single particle
+    # crossing an x-plane jumps ~a plane's worth of slots and would otherwise
+    # blow the span (and the old any-uncovered full-gather fallback fired
+    # every step — measured 230 ms at 405k). Out-of-span slots are repaired
+    # exactly by the sparse pass below.
     pb = perm.reshape(NB, OB)
-    wstart = (jnp.min(pb, axis=1) & ~127).astype(jnp.int32)
-    wend = jnp.max(pb, axis=1) + 1
+    base = (jnp.arange(NB, dtype=jnp.int32) * OB)[:, None]
+    reach = SU - PT
+    pc = jnp.clip(pb, base - reach, base + reach)
+    wstart = (jnp.min(pc, axis=1) & ~127).astype(jnp.int32)
+    wstart = jnp.maximum(wstart, 0)
+    wend = jnp.max(pc, axis=1) + 1
     ntiles = ((wend - wstart + PT - 1) // PT).astype(jnp.int32)
-    capped = jnp.minimum(ntiles, SU // PT)
+    capped = jnp.clip(ntiles, 0, SU // PT)
     nb_pad = ((NB + 7) // 8) * 8
     meta = jnp.zeros((nb_pad, 128), jnp.int32)
     meta = meta.at[:NB, 0].set(wstart)
@@ -126,21 +136,29 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
 
     out = {k: o.reshape(n) for k, o in zip(names, outs)}
 
-    # exact fallback for entries whose source fell outside the capped span:
-    # rare (a block would need a > SU-wide span), handled with a plain gather
-    # on just those slots via a where-select against a full gather only when
-    # any exist — guarded by lax.cond so the gather price is paid only then.
+    # sparse exact fix: slots whose source fell outside their block's span
+    # (plane-crossers; typically a handful per step). argsort(covered) puts
+    # uncovered slots first; re-gathering already-covered slots among the
+    # K_FIX is a harmless identical overwrite. If crossers ever exceed K_FIX
+    # (a violent whole-domain shuffle), the full-gather branch restores exactness.
     covered = (perm >= wstart.repeat(OB)) & \
               (perm < (wstart + capped * PT).repeat(OB))
-
-    def fix(args):
-        out_v, mat_v = args
-        full = {k: mat_v[i][perm] for i, k in enumerate(names)}
-        return {k: jnp.where(covered, out_v[k], full[k]) for k in names}
-
-    need_fix = jnp.any(~covered)
+    n_unc = jnp.sum(~covered)
+    fix_idx = jnp.argsort(covered)[:K_FIX]
+    src = perm[fix_idx]
     mat_rows = [mat[i, :n] for i in range(len(names))]
-    out = jax.lax.cond(need_fix, fix, lambda a: a[0], (out, mat_rows))
+
+    def sparse_fix(args):
+        out_v, mat_v = args
+        return {k: out_v[k].at[fix_idx].set(mat_v[i][src])
+                for i, k in enumerate(names)}
+
+    def full_fix(args):
+        out_v, mat_v = args
+        return {k: jnp.where(covered, out_v[k], mat_v[i][perm])
+                for i, k in enumerate(names)}
+
+    out = jax.lax.cond(n_unc > K_FIX, full_fix, sparse_fix, (out, mat_rows))
 
     merged = _collect(dict(out), n)
     res = {}

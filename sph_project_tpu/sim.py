@@ -22,74 +22,91 @@ from .rigid import integrator as rigidlib
 from .solvers import common
 
 
+def sort_state(state: SimState, params: SimParams) -> SimState:
+    """Sort every per-particle array by grid cell (the reference's counting
+    sort, base_container.py:495-547).
+
+    Measured on v5e: argsort + the one-hot MXU permute kernel (ops/permute.py)
+    beats both a multi-operand lax.sort and XLA's per-field gathers. The
+    kernel path is skipped off-TPU and under spatial sharding (a Pallas
+    custom call cannot be auto-partitioned)."""
+    p = state.particles
+    active = p.material != MATERIAL_NONE
+    cells = nblib.flat_cell_ids(p.pos, active, params)
+    perm = nblib.sort_permutation(cells)
+
+    use_kernel = (params.resolved_pair_backend() == "pallas_dma" and
+                  jax.default_backend() == "tpu" and not params.spmd_axis)
+    if use_kernel:
+        from .ops import permute as permlib
+        import dataclasses as _dc
+        arrays = {f.name: getattr(p, f.name) for f in _dc.fields(type(p))}
+        arrays.update(visc_x=state.visc_x, dfsph_alpha=state.dfsph_alpha,
+                      iisph_density_star=state.iisph_density_star)
+        out = permlib.permute_fields(perm, arrays)
+        visc_x = out.pop("visc_x")
+        alpha = out.pop("dfsph_alpha")
+        istar = out.pop("iisph_density_star")
+        p = p.replace(**out)
+    else:
+        def permute(a):
+            # (N, d) gathers run at tiny-slice (pathological) rate on TPU;
+            # per-column scalar gathers + restack are ~10x faster
+            if a.ndim == 1:
+                return a[perm]
+            return jnp.stack([a[:, d][perm] for d in range(a.shape[1])],
+                             axis=1)
+
+        p = jax.tree.map(permute, p)
+        visc_x = permute(state.visc_x)
+        alpha = state.dfsph_alpha[perm]
+        istar = state.iisph_density_star[perm]
+    return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
+                         iisph_density_star=istar)
+
+
+def produces_output(p: ParticleState, rigid: RigidState,
+                    params: SimParams) -> jnp.ndarray:
+    """Per-particle mask of rows whose pair sums are ever read: fluid and
+    dynamic-rigid-body particles. Static walls never read their own sums,
+    and neither do emitter placeholders (dynamic rigid slots of a
+    FLUID-material object above g_upper — they advect ballistically until
+    they convert; base_solver.py:660-666)."""
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    dyn_rigid_body = (p.is_dynamic > 0) & \
+        (rigid.obj_material[obj] == MATERIAL_RIGID)
+    return (p.material == MATERIAL_FLUID) | dyn_rigid_body
+
+
+def build_env(p: ParticleState, cells_sorted: jnp.ndarray,
+              produces: jnp.ndarray, params: SimParams):
+    """Window metadata over cell-sorted particles (engine-dispatched)."""
+    if params.resolved_pair_backend() == "pallas_dma":
+        from .ops import pair_dma
+        return pair_dma.make_dma_env(p.pos, cells_sorted, params,
+                                     needs_output=produces)
+    needs_output = jnp.any(produces.reshape(-1, params.pair_block), axis=1)
+    return pairs.make_pair_env(p.pos, cells_sorted, params,
+                               needs_output=needs_output)
+
+
 class Plumbing:
     """Shared step stages. Solver modules receive this to avoid import cycles
-    and so alternative implementations (e.g. Pallas-fused) can be swapped in."""
+    and so alternative implementations (spatial shard_map, Pallas-fused) can
+    be swapped in."""
 
     @staticmethod
     def neighbor_prep(state: SimState, params: SimParams) -> Tuple[SimState, pairs.PairEnv]:
         """Sort every per-particle array by grid cell and build the dense
         pair windows (the reference's prepare_neighborhood_search,
-        base_container.py:544-547).
-
-        Measured on v5e: argsort + per-field permutation gathers beats a
-        multi-operand lax.sort carrying the payload (24 ms vs 91 ms at 100k,
-        and 10x faster to compile).
-        """
+        base_container.py:544-547)."""
+        state = sort_state(state, params)
         p = state.particles
         active = p.material != MATERIAL_NONE
-        cells = nblib.flat_cell_ids(p.pos, active, params)
-        perm = nblib.sort_permutation(cells)
-
-        use_dma = params.resolved_pair_backend() == "pallas_dma"
-        if use_dma and jax.default_backend() == "tpu":
-            # near-identity permutation -> one-hot MXU kernel (ops/permute.py;
-            # XLA's 21 field gathers measured 134 ms at 405k, the kernel ~10x
-            # less). Interpret mode is slower than gathers, so CPU runs of
-            # the DMA backend keep the gather path.
-            from .ops import permute as permlib
-            import dataclasses as _dc
-            arrays = {f.name: getattr(p, f.name)
-                      for f in _dc.fields(type(p))}
-            arrays.update(visc_x=state.visc_x, dfsph_alpha=state.dfsph_alpha,
-                          iisph_density_star=state.iisph_density_star)
-            out = permlib.permute_fields(perm, arrays)
-            visc_x = out.pop("visc_x")
-            alpha = out.pop("dfsph_alpha")
-            istar = out.pop("iisph_density_star")
-            p = p.replace(**out)
-        else:
-            def permute(a):
-                # (N, d) gathers run at tiny-slice (pathological) rate on TPU;
-                # per-column scalar gathers + restack are ~10x faster
-                if a.ndim == 1:
-                    return a[perm]
-                return jnp.stack([a[:, d][perm] for d in range(a.shape[1])],
-                                 axis=1)
-
-            p = jax.tree.map(permute, p)
-            visc_x = permute(state.visc_x)
-            alpha = state.dfsph_alpha[perm]
-            istar = state.iisph_density_star[perm]
-        # exempt output-free blocks from big-window bucketing: static walls
-        # never read their own pair sums, and neither do emitter placeholders
-        # (dynamic rigid slots of a FLUID-material object above g_upper —
-        # they advect ballistically until they convert; base_solver.py:660-666)
-        obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-        dyn_rigid_body = (p.is_dynamic > 0) & \
-            (state.rigid.obj_material[obj] == MATERIAL_RIGID)
-        produces = (p.material == MATERIAL_FLUID) | dyn_rigid_body
-        if params.resolved_pair_backend() == "pallas_dma":
-            from .ops import pair_dma
-            env = pair_dma.make_dma_env(p.pos, cells[perm], params,
-                                        needs_output=produces)
-        else:
-            needs_output = jnp.any(
-                produces.reshape(-1, params.pair_block), axis=1)
-            env = pairs.make_pair_env(p.pos, cells[perm], params,
-                                      needs_output=needs_output)
-        return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
-                             iisph_density_star=istar), env
+        cells_sorted = nblib.flat_cell_ids(p.pos, active, params)
+        produces = produces_output(p, state.rigid, params)
+        env = build_env(p, cells_sorted, produces, params)
+        return state, env
 
     @staticmethod
     def non_pressure_acceleration(
@@ -204,25 +221,27 @@ class Plumbing:
         return d
 
 
-def get_step_fn(params: SimParams) -> Callable[[SimState], Tuple[SimState, dict]]:
+def get_step_fn(params: SimParams, plumbing=None
+                ) -> Callable[[SimState], Tuple[SimState, dict]]:
     """Resolve the solver method to a step function (the reference's driver
     dispatch, run_simulation.py:46-63)."""
+    plumbing = plumbing or Plumbing
     method = params.simulation_method
     if method == "wcsph":
         from .solvers import wcsph
-        fn = functools.partial(wcsph.step, params=params, plumbing=Plumbing)
+        fn = functools.partial(wcsph.step, params=params, plumbing=plumbing)
     elif method == "dfsph":
         from .solvers import dfsph
-        fn = functools.partial(dfsph.step, params=params, plumbing=Plumbing)
+        fn = functools.partial(dfsph.step, params=params, plumbing=plumbing)
     elif method == "pcisph":
         from .solvers import pcisph
-        fn = functools.partial(pcisph.step, params=params, plumbing=Plumbing)
+        fn = functools.partial(pcisph.step, params=params, plumbing=plumbing)
     elif method == "iisph":
         from .solvers import iisph
-        fn = functools.partial(iisph.step, params=params, plumbing=Plumbing)
+        fn = functools.partial(iisph.step, params=params, plumbing=plumbing)
     elif method == "pbf":
         from .solvers import pbf
-        fn = functools.partial(pbf.step, params=params, plumbing=Plumbing)
+        fn = functools.partial(pbf.step, params=params, plumbing=plumbing)
     else:
         raise NotImplementedError(f"simulation method {method}")
     return fn

@@ -261,6 +261,57 @@ def correct_divergence_error(
     return p.replace(vel=vel), rigid, itr, err
 
 
+def segment_a(state: SimState, params: SimParams, plumbing
+              ) -> tuple[SimState, dict]:
+    """First half of a DFSPH step for executors that cannot cache the pair
+    env across the step boundary (the spatial shard_map path): density/alpha
+    recompute on entry — identical values to the cached ones, since positions
+    have not moved since the previous step's own recompute."""
+    state, env = plumbing.neighbor_prep(state, params)
+    p, rigid = state.particles, state.rigid
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    dens, alpha = density_and_alpha(p, env, sl, params)
+    p = p.replace(density=dens)
+    sl["density"] = slab_pack(env, {"d": dens})["d"]
+    state = state.replace(particles=p, dfsph_alpha=alpha)
+
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state,
+                                                  params)
+    p = common.update_fluid_velocity(p, params)
+    p, rigid, itr_d, err_d = correct_density_error(
+        p, rigid, alpha, env, sl, params)
+    p = common.update_fluid_position(p, rigid, params)
+
+    state = state.replace(particles=p, rigid=rigid)
+    state = plumbing.rigid_mid(state, env, params)
+    p = common.enforce_domain_boundary(state.particles, params, MATERIAL_FLUID)
+    state = state.replace(particles=p)
+    return state, dict(solver_iters=itr_d,
+                       solver_err=err_d * params.density0)
+
+
+def segment_b(state: SimState, params: SimParams, plumbing
+              ) -> tuple[SimState, dict]:
+    """Second half (post mid-step resort): divergence-free solver + tail."""
+    state, env = plumbing.neighbor_prep(state, params)
+    p = state.particles
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    dens, alpha = density_and_alpha(p, env, sl, params)
+    p = p.replace(density=dens)
+    sl["density"] = slab_pack(env, {"d": dens})["d"]
+    p, rigid, itr_v, err_v = correct_divergence_error(
+        p, state.rigid, alpha, env, sl, params)
+    if params.has_rigid:
+        p = common.compute_rigid_particle_volume(p, env, sl, params)
+    state = state.replace(
+        particles=p, rigid=rigid, dfsph_alpha=alpha,
+        t=state.t + params.dt, step_count=state.step_count + 1,
+    )
+    diag = plumbing.diagnostics(state, env, params, extra=dict(
+        div_iters=itr_v, div_err=err_v))
+    return state, diag
+
+
 def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     """One DFSPH step (DFSPH.py:298-319). Density/alpha/pair-env for the
     start of the step come from the end of the previous one (prepare seeds
