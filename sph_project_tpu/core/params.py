@@ -97,6 +97,7 @@ class SimParams:
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
+    has_entries: bool = True               # static: deferred entryTime / emitter
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
     contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
     contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)

@@ -223,6 +223,8 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         any(c["entry"] > 0 for c in chunks)   # emitter flips fluid->rigid too
     if cfg.get_cfg("gravitationUpper") is not None:
         kw["has_rigid"] = True
+    kw["has_entries"] = any(c["entry"] > 0 for c in chunks) or \
+        cfg.get_cfg("gravitationUpper") is not None
     params = make_params(n_particles, **kw)
 
     if "pair_slab" not in param_overrides:

@@ -22,9 +22,36 @@ from .rigid import integrator as rigidlib
 from .solvers import common
 
 
+def permuted_keys(params: SimParams) -> tuple:
+    """Per-particle arrays that must follow the cell sort — everything whose
+    value CARRIES ACROSS the sort boundary. Arrays recomputed in-step before
+    any read (acc, pressure, dfsph_alpha) and method-foreign carries are
+    skipped: at 405k each permuted component costs ~1 ms/step on v5e.
+
+    Audit (round 2): acc/pressure are fully rewritten before use by every
+    solver (gravity_acceleration assigns; PCISPH/IISPH re-zero pressure,
+    PCISPH.py:153-162 / IISPH.py:164); dfsph_alpha is recomputed right after
+    every resort (density_and_alpha); visc_x is the implicit-CG warm start
+    only; iisph_density_star is IISPH's stale-density quirk carry only;
+    rigid_rest_pos / entry_* matter only when the scene has rigid bodies /
+    deferred entries."""
+    keys = ["pos", "vel", "mass", "rest_volume", "density", "material",
+            "object_id", "is_dynamic"]
+    if params.has_rigid:
+        keys.append("rigid_rest_pos")
+    if params.has_entries:
+        keys += ["entry_time", "entry_material"]
+    extras = []
+    if params.viscosity_method == "implicit":
+        extras.append("visc_x")
+    if params.simulation_method == "iisph":
+        extras.append("iisph_density_star")
+    return tuple(keys), tuple(extras)
+
+
 def sort_state(state: SimState, params: SimParams) -> SimState:
-    """Sort every per-particle array by grid cell (the reference's counting
-    sort, base_container.py:495-547).
+    """Sort the carried per-particle arrays by grid cell (the reference's
+    counting sort, base_container.py:495-547).
 
     Measured on v5e: argsort + the one-hot MXU permute kernel (ops/permute.py)
     beats both a multi-operand lax.sort and XLA's per-field gathers. The
@@ -35,18 +62,15 @@ def sort_state(state: SimState, params: SimParams) -> SimState:
     cells = nblib.flat_cell_ids(p.pos, active, params)
     perm = nblib.sort_permutation(cells)
 
+    pkeys, extras = permuted_keys(params)
     use_kernel = (params.resolved_pair_backend() == "pallas_dma" and
                   jax.default_backend() == "tpu" and not params.spmd_axis)
     if use_kernel:
         from .ops import permute as permlib
-        import dataclasses as _dc
-        arrays = {f.name: getattr(p, f.name) for f in _dc.fields(type(p))}
-        arrays.update(visc_x=state.visc_x, dfsph_alpha=state.dfsph_alpha,
-                      iisph_density_star=state.iisph_density_star)
+        arrays = {k: getattr(p, k) for k in pkeys}
+        arrays.update({k: getattr(state, k) for k in extras})
         out = permlib.permute_fields(perm, arrays)
-        visc_x = out.pop("visc_x")
-        alpha = out.pop("dfsph_alpha")
-        istar = out.pop("iisph_density_star")
+        state = state.replace(**{k: out.pop(k) for k in extras})
         p = p.replace(**out)
     else:
         def permute(a):
@@ -57,12 +81,10 @@ def sort_state(state: SimState, params: SimParams) -> SimState:
             return jnp.stack([a[:, d][perm] for d in range(a.shape[1])],
                              axis=1)
 
-        p = jax.tree.map(permute, p)
-        visc_x = permute(state.visc_x)
-        alpha = state.dfsph_alpha[perm]
-        istar = state.iisph_density_star[perm]
-    return state.replace(particles=p, visc_x=visc_x, dfsph_alpha=alpha,
-                         iisph_density_star=istar)
+        p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
+        state = state.replace(
+            **{k: permute(getattr(state, k)) for k in extras})
+    return state.replace(particles=p)
 
 
 def produces_output(p: ParticleState, rigid: RigidState,
