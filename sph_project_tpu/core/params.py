@@ -87,8 +87,8 @@ class SimParams:
     pair_slab_big: int = 0
     pair_big_frac: int = 16
     # kernel-side-DMA engine (ops/pair_dma.py; pair_backend == "pallas_dma")
-    pair_dma_group: int = 4                # G: sub-blocks per superblock
-    pair_dma_su: int = 2048                # union window VMEM budget (cols)
+    pair_dma_group: int = 8                # G: sub-blocks (of B=64) per superblock
+    pair_dma_su: int = 2048                # per-plane union VMEM budget (cols)
 
     # spatial multi-chip execution (parallel/spatial.py): when set, the step
     # runs inside shard_map over this mesh axis — global reductions psum, the
@@ -151,7 +151,18 @@ def make_params(n_particles: int, **kw) -> SimParams:
         int(math.ceil((e - s) / dh)) for s, e in zip(domain_start, domain_end)
     )
     blk = kw.get("pair_block", 256)
-    n_pad = _round_up(max(n_particles, 1), max(1024, blk))
+    # + per-x-plane padding budget for the DMA engine's plane-padded layout
+    # (ops/neighbors.py plane_padded_permutation): each of the gx planes and
+    # the sentinel tail may round up to the next 64-slot boundary
+    plane_budget = (grid_num[0] + 1) * 64
+    n_pad = _round_up(max(n_particles, 1) + plane_budget, max(1024, blk))
+    if "pair_dma_group" not in kw:
+        # adaptive superblock: small scenes get small superblocks so the
+        # per-superblock plane hull stays within the DMA engine's P_CAP
+        g2 = 1
+        while g2 < 8 and 64 * (g2 * 2) * 8 <= n_pad:
+            g2 *= 2
+        kw["pair_dma_group"] = g2
     return SimParams(
         dim=dim,
         particle_radius=dx,

@@ -83,6 +83,57 @@ def sort_permutation(cells: jnp.ndarray) -> jnp.ndarray:
     return jnp.argsort(cells, stable=True)
 
 
+PLANE_PAD = 64   # == pair_dma.B; plane runs padded so sub-blocks never cross
+
+
+def plane_padded_permutation(cells: jnp.ndarray,
+                             params: SimParams) -> jnp.ndarray:
+    """Gather indices for the plane-padded cell sort (the DMA pair engine's
+    layout): particles are cell-sorted, but each x-plane's run is padded to a
+    multiple of ``PLANE_PAD`` with dead slots, so no 64-particle sub-block
+    ever crosses an x-plane. Crossing blocks otherwise get degenerate
+    rectangle hulls (their y-hull spans the whole fluid), which is what makes
+    plain blocked layouts unusable for plane-relative windows.
+
+    The permutation is a BIJECTION: live particles take the plane-padded
+    slots; inactive (sentinel-celled) records — including future entryTime
+    particles, whose data must survive — fill the leftover slots (the
+    plane-end pad gaps and the tail) in index order. Pad-gap slots therefore
+    hold inactive records, which the env builder's live mask and occurrence
+    tables already exclude from every window.
+    """
+    n = cells.shape[0]
+    g = params.grid_num
+    plane_stride = 1
+    for s in g[1:]:
+        plane_stride *= s
+    order = jnp.argsort(cells, stable=True)
+    cs = cells[order]
+    gx = g[0]
+    pl_id = jnp.where(cs >= params.num_cells, gx,
+                      jnp.maximum(cs, 0) // plane_stride)
+    counts = jax.ops.segment_sum(jnp.ones_like(cs), pl_id,
+                                 num_segments=gx + 1)
+    cum = jnp.cumsum(counts)
+    base_sorted = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
+    padded = ((counts + PLANE_PAD - 1) // PLANE_PAD) * PLANE_PAD
+    cump = jnp.cumsum(padded)
+    base_pad = jnp.concatenate([jnp.zeros((1,), cump.dtype), cump[:-1]])
+    k = jnp.arange(n, dtype=cum.dtype)
+    sent = pl_id >= gx
+    out_live = base_pad[jnp.minimum(pl_id, gx - 1)] + \
+        (k - base_sorted[jnp.minimum(pl_id, gx - 1)])
+    out_live = jnp.minimum(out_live, n - 1)  # safety (n_pad plane budget)
+    occupied = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(sent, n, out_live)].set(1, mode="drop")
+    # free slots in ascending index order absorb the sentinel records
+    free = jnp.argsort(occupied, stable=True)
+    out_sent = free[jnp.clip(k - base_sorted[gx], 0, n - 1)]
+    out_pos = jnp.where(sent, out_sent, out_live)
+    perm = jnp.zeros((n,), jnp.int32).at[out_pos].set(order.astype(jnp.int32))
+    return perm
+
+
 def build_neighbors(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
                     params: SimParams) -> Neighbors:
     """Build the (N, K) neighbor list from cell-sorted positions.

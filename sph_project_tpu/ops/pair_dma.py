@@ -10,21 +10,25 @@ Design (replaces the ``for_all_neighbors`` hot loop of the reference,
 ``SPH/containers/base_container.py:549-560`` in jason-huang03/SPH_Project):
 
 - particles stay cell-sorted (z fastest, then y, then x);
-- the 3^dim stencil merges into ``NS_m = 3`` (3D: one per dx) / ``1`` (2D)
-  *contiguous* index ranges: rows (x+dx, y-1..y+1) are adjacent in flat cell
-  order, so one window per dx covers them (the in-between cells fail the
-  strict |R| < dh test, so scanning them only costs compute, not physics);
-- per PARTICLE the exact candidate range ``[start_s, end_s)`` per segment is
-  known from the cell table. Validity = that range test + radius test — no
-  row matching, no dedup: a candidate never appears in two ranges of the same
-  particle;
-- sub-blocks of ``B = 128`` particles share a compute tile; ``G`` sub-blocks
-  form a superblock whose per-segment window union is DMA'd once into VMEM.
-  Sub-blocks then read 128-aligned tiles of the union (Mosaic requires
-  dynamic lane offsets provably 128-aligned);
-- window lengths are data-dependent: DMAs and compute run in dynamic
-  ``fori_loop``s over tiles; truncation beyond the VMEM budget ``SU`` is
-  counted in ``overflow`` (loud, never silent).
+- a sub-block of ``B = 64`` particles shares a compute tile; ``G`` sub-blocks
+  form a superblock whose windows are DMA'd once into VMEM;
+- DMA granularity is the absolute x-PLANE: per superblock, each grid plane
+  in the hull ``[xmin-1, xmax+1]`` gets one contiguous union window (from the
+  first row/z corner of the hull to the last), double-buffered into VMEM in
+  ``DT``-wide tiles. Planes are disjoint index ranges by construction;
+- compute granularity is the (plane, row) window: per sub-block, each plane
+  slot iterates the y-rows of the sub-block's hull; the row's candidate range
+  ``[st, en)`` is two scalars looked up per (sub-block, plane, row) — NO
+  per-particle range tables (round-1 design), and no per-pair row matching:
+  the strict ``|R| < dh`` radius test alone implies cell membership, since
+  cells are exactly ``dh`` wide. The scalar range test only enforces
+  disjointness at the 128-lane tile granularity;
+- pair validity = radius test + ``jg != gidx`` (not-self) + the scalar range
+  test. Window truncation beyond the per-plane VMEM budget ``SU`` and hull
+  spans beyond the static plane/row caps are counted in ``overflow`` (loud,
+  never silent);
+- outputs use deferred reduction: masked (1, B, WT) contribution matrices
+  accumulate across tiles and reduce over lanes once per sub-block.
 
 Pair kernels are the same :class:`~.pair_exec.Cx` component bodies the
 chunked-JAX executor runs — written once, executed by either engine.
@@ -46,47 +50,71 @@ from . import neighbors as nblib
 from .pair_exec import Cx, _collect, _split
 
 # static engine geometry
-B = 128        # sub-block: particles per compute tile (lane-aligned)
+B = 64         # sub-block: particles per compute tile (sublane-aligned)
 WT = 128       # window tile width (lanes)
 DT = 512       # DMA tile width
 ALIGN = 128    # union window start alignment
+Q_CAP = 8      # own-plane clusters per superblock (sparse-scene cap)
+R_CAP = 8      # row slots per sub-block (y-hull width cap; last slot merges
+               # any remaining rows into one contiguous range, so deep
+               # y-hulls degrade to fatter scanning, never lost physics)
 
 # meta row column offsets (one (128,) i32 row per superblock)
-OFF_USTART = 0          # NS_m entries
-OFF_UTILES = 8          # NS_m entries
-OFF_TILELO = 16         # G * NS_m entries
-# OFF_NTILES = 16 + G * NS_m
+OFF_USTART = 0           # Q_CAP*3 entries: per-(cluster, dp) union start
+OFF_UTILES = 24          # Q_CAP*3 entries: per-(cluster, dp) DMA tile count
+OFF_RCNT = 48            # G entries: row-slot count per sub-block
+OFF_QIDX = 56            # G entries: sub-block cluster index
 
 
 class DmaPairEnv(struct.PyTreeNode):
     """Window metadata for the DMA engine (all device arrays)."""
 
     meta_pack: jnp.ndarray   # (NSB_pad8, 128) i32 — per-superblock row
-    bounds: jnp.ndarray      # (8, N + SU) i32 — per-particle segment ranges
-    overflow: jnp.ndarray    # () i32 — candidate entries lost to the SU cap
-
-    @property
-    def n(self) -> int:
-        return self.bounds.shape[1] - self.su
+    wtab: jnp.ndarray        # (NSB_pad8, G*3*R_CAP*2) i32 — [st, en) per
+                             # (sub-block, plane slot, row slot)
+    overflow: jnp.ndarray    # () i32 — candidates/windows lost to caps
 
     # static config riders (stored as leaves would break jit; recompute)
+    n: int = struct.field(pytree_node=False, default=0)
     su: int = struct.field(pytree_node=False, default=2048)
-    group: int = struct.field(pytree_node=False, default=4)
-    ns_m: int = struct.field(pytree_node=False, default=3)
+    group: int = struct.field(pytree_node=False, default=8)
 
 
 def _superblock(params: SimParams) -> int:
     return B * params.pair_dma_group
 
 
+def _occurrence_table(cells_sorted: jnp.ndarray, ncells: int):
+    """Cell -> particle-index tables from the (plane-padded) sorted order.
+
+    Built from positions directly (scatter-min/max + backfill scans) rather
+    than a count cumsum, so dead padding slots interspersed between plane
+    runs — and not-received halo slots under spatial decomposition — need no
+    special casing. Returns (T_start, T_end): T_start[c] = first index of a
+    live particle with cell >= c reading forward from c; T_end[c] = one past
+    the last index of a live particle with cell <= c."""
+    n = cells_sorted.shape[0]
+    live = (cells_sorted >= 0) & (cells_sorted < ncells)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    tgt = jnp.where(live, cells_sorted, ncells)
+    t_start = jnp.full((ncells + 1,), n, jnp.int32).at[tgt].min(
+        jnp.where(live, idx, n))
+    t_end = jnp.zeros((ncells + 1,), jnp.int32).at[tgt].max(
+        jnp.where(live, idx + 1, 0))
+    # backfill empty cells so [T_start[lo], T_end[hi]) covers any cell range
+    t_start = jax.lax.cummin(t_start, reverse=True)
+    t_end = jax.lax.cummax(t_end)
+    return t_start, t_end
+
+
 def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
                  params: SimParams,
                  needs_output: jnp.ndarray | None = None) -> DmaPairEnv:
-    """Merged-segment window metadata from sorted cell ids.
+    """Plane/row window metadata from plane-padded sorted cell ids.
 
     ``needs_output``: per-particle bool; sub-blocks with no output-producing
-    particle get zero compute tiles, and superblocks with none skip their
-    DMAs entirely (static domain-box walls are the big win here).
+    particle get empty hulls, and superblocks with none skip their DMAs
+    entirely (static domain-box walls are the big win here).
     """
     n, dim = pos.shape
     g = params.grid_num
@@ -94,96 +122,135 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     SU = params.pair_dma_su
     SB = B * G
     assert n % SB == 0, f"n_pad {n} must be a multiple of {SB}"
-    NS_m = 3 if dim == 3 else 1
     ncells = params.num_cells
-
-    coords = nblib.cell_coords(pos, params)
-    counts = jax.ops.segment_sum(
-        jnp.ones_like(cells_sorted, dtype=jnp.int32), cells_sorted,
-        num_segments=ncells + 1)
-    # negative ids (not-received halo slots under spatial decomposition) are
-    # dropped from the histogram but occupy leading slots; shift the table
-    front_invalid = jnp.sum((cells_sorted < 0).astype(jnp.int32))
-    table = front_invalid + jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
-
-    live = (cells_sorted < ncells) & (cells_sorted >= 0)
-    if dim == 3:
-        cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
-        ylo = jnp.maximum(cy - 1, 0)
-        yhi = jnp.minimum(cy + 1, g[1] - 1)
-        zlo = jnp.maximum(cz - 1, 0)
-        zhi = jnp.minimum(cz + 1, g[2] - 1)
-        starts, ends = [], []
-        for dx in (-1, 0, 1):
-            x = cx + dx
-            ok = (x >= 0) & (x < g[0]) & live
-            lo = (x * g[1] + ylo) * g[2] + zlo
-            hi = (x * g[1] + yhi) * g[2] + zhi + 1
-            starts.append(jnp.where(ok, table[jnp.clip(lo, 0, ncells)], n))
-            ends.append(jnp.where(ok, table[jnp.clip(hi, 0, ncells + 1)], 0))
-    else:
-        cx, cy = coords[:, 0], coords[:, 1]
-        ylo = jnp.maximum(cy - 1, 0)
-        yhi = jnp.minimum(cy + 1, g[1] - 1)
-        xlo = jnp.maximum(cx - 1, 0)
-        xhi = jnp.minimum(cx + 1, g[0] - 1)
-        lo = xlo * g[1] + ylo
-        hi = xhi * g[1] + yhi + 1
-        starts = [jnp.where(live, table[jnp.clip(lo, 0, ncells)], n)]
-        ends = [jnp.where(live, table[jnp.clip(hi, 0, ncells + 1)], 0)]
-
-    start = jnp.stack(starts, axis=-1).astype(jnp.int32)   # (N, NS_m)
-    end = jnp.stack(ends, axis=-1).astype(jnp.int32)
-
     NSb = n // B
     NSB = n // SB
-    bstart = jnp.min(start.reshape(NSb, B, NS_m), axis=1)   # (NSb, NS_m)
-    bend = jnp.max(end.reshape(NSb, B, NS_m), axis=1)
-    if needs_output is not None:
-        sub_out = jnp.any(needs_output.reshape(NSb, B), axis=1)
-        bstart = jnp.where(sub_out[:, None], bstart, n)
-        bend = jnp.where(sub_out[:, None], bend, 0)
 
-    u_start = jnp.min(bstart.reshape(NSB, G, NS_m), axis=1) & ~(ALIGN - 1)
-    u_start = jnp.clip(u_start, 0, n)
-    u_end = jnp.max(bend.reshape(NSB, G, NS_m), axis=1)
+    coords = nblib.cell_coords(pos, params)
+    t_start, t_end = _occurrence_table(cells_sorted, ncells)
+
+    live = (cells_sorted < ncells) & (cells_sorted >= 0)
+    produces = live if needs_output is None else (live & needs_output)
+
+    # per-sub-block hulls over producing rows; the plane-padded sort
+    # guarantees each live sub-block occupies a single x-plane
+    gi = jnp.asarray(g, jnp.int32)
+    big = jnp.int32(1 << 29)
+    cmin = jnp.min(jnp.where(produces[:, None], coords, big).reshape(
+        NSb, B, dim), axis=1)
+    cmax = jnp.max(jnp.where(produces[:, None], coords, -big).reshape(
+        NSb, B, dim), axis=1)
+    empty = ~jnp.any(produces.reshape(NSb, B), axis=1)
+    own = jnp.where(empty, 0, jnp.clip(cmin[:, 0], 0, g[0] - 1))  # (NSb,)
+    multi_plane = (~empty) & (cmax[:, 0] != cmin[:, 0])
+
+    if dim == 3:
+        def flat(x, y, z):
+            return (x * g[1] + y) * g[2] + z
+        ylo = jnp.maximum(cmin[:, 1] - 1, 0)
+        yhi = jnp.minimum(cmax[:, 1] + 1, gi[1] - 1)
+        zlo = jnp.maximum(cmin[:, 2] - 1, 0)
+        zhi = jnp.minimum(cmax[:, 2] + 1, gi[2] - 1)
+    else:
+        def flat(x, y, z):
+            return x * g[1] + z
+        # 2D: the window run axis is y; a single (merged) row slot
+        ylo = jnp.zeros((NSb,), jnp.int32)
+        yhi = jnp.zeros((NSb,), jnp.int32)
+        zlo = jnp.maximum(cmin[:, 1] - 1, 0)
+        zhi = jnp.minimum(cmax[:, 1] + 1, gi[1] - 1)
+
+    rcnt_true = yhi - ylo + 1
+    rcnt = jnp.where(empty, 0, jnp.minimum(rcnt_true, R_CAP))
+
+    # ---- superblock own-plane clusters ------------------------------------
+    # sub-blocks of a superblock sharing an own plane form a CONTIGUOUS run
+    # (the sort is cell-major); each run's rows span a contiguous y-interval,
+    # so one DMA union per (cluster, dp) stays tight even when the superblock
+    # straddles a plane boundary (a per-plane hull union would then span the
+    # whole plane: both the low-y head of plane p+1 and the high-y tail of
+    # plane p would fold into one rectangle)
+    own_sb = own.reshape(NSB, G)
+    empty_sb = empty.reshape(NSB, G)
+    chg = jnp.concatenate(
+        [jnp.ones((NSB, 1), jnp.int32),
+         (own_sb[:, 1:] != own_sb[:, :-1]).astype(jnp.int32)], axis=1)
+    q_idx = jnp.cumsum(chg, axis=1) - 1                           # (NSB, G)
+    lost_q = jnp.sum(jnp.where(empty_sb, 0,
+                               (q_idx >= Q_CAP).astype(jnp.int32))) * R_CAP
+    q_idx_c = jnp.clip(q_idx, 0, Q_CAP - 1)
+
+    # per-(cluster, dp) union hulls over that cluster's sub-blocks
+    qs = jnp.arange(Q_CAP, dtype=jnp.int32)                       # (Q,)
+    in_q = (q_idx_c[:, None, :] == qs[None, :, None]) & \
+        (q_idx[:, None, :] < Q_CAP) & (~empty_sb[:, None, :])     # (NSB,Q,G)
+    q_own = jnp.min(jnp.where(in_q, own_sb[:, None, :], big), axis=2)
+    u_ylo = jnp.min(jnp.where(in_q, ylo.reshape(NSB, 1, G), big), axis=2)
+    u_yhi = jnp.max(jnp.where(in_q, yhi.reshape(NSB, 1, G), -big), axis=2)
+    u_zlo = jnp.min(jnp.where(in_q, zlo.reshape(NSB, 1, G), big), axis=2)
+    u_zhi = jnp.max(jnp.where(in_q, zhi.reshape(NSB, 1, G), -big), axis=2)
+    q_ok = jnp.any(in_q, axis=2)                                  # (NSB, Q)
+    dpq = jnp.arange(3, dtype=jnp.int32)[None, None, :] - 1       # (1,1,3)
+    plane_q = q_own[:, :, None] + dpq                             # (NSB,Q,3)
+    slot_ok = q_ok[:, :, None] & (plane_q >= 0) & (plane_q < gi[0])
+    u_lo_idx = flat(plane_q, u_ylo[:, :, None], u_zlo[:, :, None])
+    u_hi_idx = flat(plane_q, u_yhi[:, :, None], u_zhi[:, :, None])
+    u_start = jnp.where(
+        slot_ok,
+        t_start[jnp.clip(u_lo_idx, 0, ncells)] & ~(ALIGN - 1), 0)
+    u_start = jnp.minimum(u_start, n)
+    u_end = jnp.where(slot_ok, t_end[jnp.clip(u_hi_idx, 0, ncells)], 0)
     u_len = jnp.maximum(u_end - u_start, 0)
     u_tiles = jnp.clip((u_len + DT - 1) // DT, 0, SU // DT).astype(jnp.int32)
+    u_cover = (u_start + u_tiles * DT).reshape(NSB, Q_CAP * 3)
 
-    lo_rel = jnp.maximum(bstart.reshape(NSB, G, NS_m) - u_start[:, None, :], 0)
-    cov_end = jnp.minimum(bend.reshape(NSB, G, NS_m),
-                          (u_start + u_tiles * DT)[:, None, :])
-    tile_lo = lo_rel // WT
-    sub_hi_rel = jnp.maximum(cov_end - u_start[:, None, :], 0)
-    ntiles = jnp.maximum((sub_hi_rel + WT - 1) // WT - tile_lo, 0)
-    ntiles = jnp.where(cov_end > bstart.reshape(NSB, G, NS_m), ntiles, 0)
-    overflow = jnp.sum(jnp.maximum(
-        bend.reshape(NSB, G, NS_m) - (u_start + SU)[:, None, :], 0))
+    # ---- per-(sub-block, +-1 plane, row) windows (compute side) -----------
+    dp = jnp.arange(3, dtype=jnp.int32)[None, :, None] - 1        # (1,3,1)
+    r3 = jnp.arange(R_CAP, dtype=jnp.int32)[None, None, :]        # (1,1,R)
+    pg = own[:, None, None] + dp                                  # (NSb,3,R)
+    rg = jnp.minimum(ylo[:, None, None] + r3, yhi[:, None, None])
+    # last row slot merges the remaining rows into one contiguous range
+    is_last = r3 == (rcnt[:, None, None] - 1)
+    rg_hi = jnp.where(is_last, yhi[:, None, None], rg)
+    q_flat = q_idx.reshape(NSb)
+    valid = (~empty[:, None, None]) & (pg >= 0) & (pg < gi[0]) & \
+        (r3 < rcnt[:, None, None]) & (q_flat[:, None, None] < Q_CAP)
+    w_lo = flat(pg, rg, zlo[:, None, None])
+    w_hi = flat(pg, rg_hi, zhi[:, None, None])
+    st = jnp.where(valid, t_start[jnp.clip(w_lo, 0, ncells)], n)
+    st = jnp.minimum(st, n)
+    en = jnp.where(valid, t_end[jnp.clip(w_hi, 0, ncells)], 0)
+
+    # SU truncation accounting (loud, never silent)
+    sb_of = jnp.repeat(jnp.arange(NSB, dtype=jnp.int32), G)
+    slot_g = (q_idx_c.reshape(NSb)[:, None] * 3 +
+              jnp.arange(3, dtype=jnp.int32)[None, :])            # (NSb, 3)
+    cover = jnp.take_along_axis(u_cover[sb_of], slot_g,
+                                axis=1)[:, :, None]               # (NSb,3,1)
+    trunc = jnp.sum(jnp.where(valid, jnp.maximum(en - cover, 0), 0))
+    overflow = (trunc + lost_q + jnp.sum(multi_plane)).astype(jnp.int32)
 
     nsb_pad = ((NSB + 7) // 8) * 8
     meta = jnp.zeros((nsb_pad, 128), jnp.int32)
-    meta = meta.at[:NSB, OFF_USTART:OFF_USTART + NS_m].set(u_start)
-    meta = meta.at[:NSB, OFF_UTILES:OFF_UTILES + NS_m].set(u_tiles)
-    meta = meta.at[:NSB, OFF_TILELO:OFF_TILELO + G * NS_m].set(
-        tile_lo.reshape(NSB, G * NS_m).astype(jnp.int32))
-    off_nt = OFF_TILELO + G * NS_m
-    meta = meta.at[:NSB, off_nt:off_nt + G * NS_m].set(
-        ntiles.reshape(NSB, G * NS_m).astype(jnp.int32))
+    meta = meta.at[:NSB, OFF_USTART:OFF_USTART + Q_CAP * 3].set(
+        u_start.reshape(NSB, Q_CAP * 3))
+    meta = meta.at[:NSB, OFF_UTILES:OFF_UTILES + Q_CAP * 3].set(
+        u_tiles.reshape(NSB, Q_CAP * 3))
+    meta = meta.at[:NSB, OFF_RCNT:OFF_RCNT + G].set(rcnt.reshape(NSB, G))
+    meta = meta.at[:NSB, OFF_QIDX:OFF_QIDX + G].set(q_idx_c)
 
-    bounds = jnp.stack([start, end], axis=-1).reshape(n, 2 * NS_m).T
-    bounds = jnp.pad(bounds, ((0, 8 - 2 * NS_m), (0, SU))).astype(jnp.int32)
-    return DmaPairEnv(meta_pack=meta, bounds=bounds,
-                      overflow=overflow.astype(jnp.int32),
-                      su=SU, group=G, ns_m=NS_m)
+    wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 3 * R_CAP * 2)
+    wtab = jnp.pad(wtab, ((0, nsb_pad - NSB), (0, 0)))
+    return DmaPairEnv(meta_pack=meta, wtab=wtab, overflow=overflow,
+                      n=n, su=SU, group=G)
 
 
 def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
                 margin: float = 1.6,
                 output_mask: "np.ndarray" = None) -> int:
-    """Host-side estimate of the union-window VMEM budget SU for a scene.
+    """Host-side estimate of the per-plane union VMEM budget SU for a scene.
 
-    Mirrors make_dma_env's superblock union computation in numpy on the
+    Mirrors make_dma_env's superblock hull computation in numpy on the
     initial state; ``margin`` covers densification during the run and the
     runtime ``overflow`` counter guards the rest (JAX-MD rebuild protocol).
     """
@@ -197,66 +264,118 @@ def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
     coords = np.clip(np.floor(q).astype(np.int64), 0, np.asarray(g) - 1)
     if dim == 3:
         flat = (coords[:, 0] * g[1] + coords[:, 1]) * g[2] + coords[:, 2]
+        plane_stride = g[1] * g[2]
     else:
         flat = coords[:, 0] * g[1] + coords[:, 1]
+        plane_stride = g[1]
     flat = np.where(active, flat, ncells)
+
+    # mirror plane_padded_permutation: stable cell sort, plane runs padded to
+    # B boundaries, inactive records fill the leftover slots (bijection)
     order = np.argsort(flat, kind="stable")
-    cells_sorted = flat[order]
-    coords = coords[order]
+    cs = flat[order]
+    pl_id = np.where(cs >= ncells, g[0], cs // plane_stride)
+    counts = np.bincount(pl_id, minlength=g[0] + 1)
+    base_sorted = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    padded = (counts + B - 1) // B * B
+    base_pad = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    k = np.arange(n)
+    sent = pl_id >= g[0]
+    out_live = base_pad[np.minimum(pl_id, g[0] - 1)] + \
+        (k - base_sorted[np.minimum(pl_id, g[0] - 1)])
+    occupied = np.zeros(n, bool)
+    occupied[out_live[~sent]] = True
+    free = np.flatnonzero(~occupied)
+    out_pos = out_live.copy()
+    out_pos[sent] = free[k[sent] - base_sorted[g[0]]]
+    perm = np.zeros(n, np.int64)
+    perm[out_pos] = order
+    cells_sorted = flat[perm]
+    coords = coords[perm]
     live = cells_sorted < ncells
-
-    if dim == 3:
-        cx, cy, cz = coords[:, 0], coords[:, 1], coords[:, 2]
-        ylo, yhi = np.maximum(cy - 1, 0), np.minimum(cy + 1, g[1] - 1)
-        zlo, zhi = np.maximum(cz - 1, 0), np.minimum(cz + 1, g[2] - 1)
-        ranges = []
-        for dx in (-1, 0, 1):
-            x = cx + dx
-            ok = (x >= 0) & (x < g[0]) & live
-            lo = (x * g[1] + ylo) * g[2] + zlo
-            hi = (x * g[1] + yhi) * g[2] + zhi + 1
-            ranges.append((ok, lo, hi))
-    else:
-        cx, cy = coords[:, 0], coords[:, 1]
-        ylo, yhi = np.maximum(cy - 1, 0), np.minimum(cy + 1, g[1] - 1)
-        xlo, xhi = np.maximum(cx - 1, 0), np.minimum(cx + 1, g[0] - 1)
-        ranges = [(live, xlo * g[1] + ylo, xhi * g[1] + yhi + 1)]
-
-    table = np.zeros(ncells + 2, np.int64)
-    np.add.at(table, cells_sorted + 1, 1)
-    table = np.cumsum(table)
-
-    nsb = n // SB
     if output_mask is not None:
-        # sub-block granularity, like make_dma_env: a sub-block with any
-        # producing particle contributes all of its particles' windows
-        sub_out = output_mask[order][: (n // B) * B].reshape(-1, B).any(axis=1)
-        out = np.repeat(sub_out, B)[:n]
+        live = live & output_mask[perm]
+
+    # occurrence tables (same as _occurrence_table)
+    t_start = np.full(ncells + 1, n, np.int64)
+    t_end = np.zeros(ncells + 1, np.int64)
+    idx = np.arange(n)
+    real = cells_sorted < ncells
+    np.minimum.at(t_start, cells_sorted[real], idx[real])
+    np.maximum.at(t_end, cells_sorted[real], idx[real] + 1)
+    t_start = np.minimum.accumulate(t_start[::-1])[::-1]
+    t_end = np.maximum.accumulate(t_end)
+
+    NSb = n // B
+    big = 1 << 29
+    cmin = np.where(live[:, None], coords, big).reshape(
+        NSb, B, dim).min(axis=1)
+    cmax = np.where(live[:, None], coords, -big).reshape(
+        NSb, B, dim).max(axis=1)
+    nonempty = live.reshape(NSb, B).any(axis=1)
+    own = np.clip(cmin[:, 0], 0, g[0] - 1)
+    if dim == 3:
+        ylo = np.maximum(cmin[:, 1] - 1, 0)
+        yhi = np.minimum(cmax[:, 1] + 1, g[1] - 1)
+        zlo = np.maximum(cmin[:, 2] - 1, 0)
+        zhi = np.minimum(cmax[:, 2] + 1, g[2] - 1)
     else:
-        out = np.ones(n, bool)
+        ylo = np.zeros(NSb, np.int64)
+        yhi = np.zeros(NSb, np.int64)
+        zlo = np.maximum(cmin[:, 1] - 1, 0)
+        zhi = np.minimum(cmax[:, 1] + 1, g[1] - 1)
+
+    # per-superblock own-plane clusters, one union per (cluster, dp)
+    NSB = n // SB
+    own_sb = own.reshape(NSB, G)
+    empty_sb = ~nonempty.reshape(NSB, G)
+    chg = np.concatenate([np.ones((NSB, 1), np.int64),
+                          (own_sb[:, 1:] != own_sb[:, :-1]).astype(np.int64)],
+                         axis=1)
+    q_idx = np.cumsum(chg, axis=1) - 1
     u_max = 1
-    for ok, lo, hi in ranges:
-        s = np.where(ok & out, table[np.clip(lo, 0, ncells)], n)
-        e = np.where(ok & out, table[np.clip(hi, 0, ncells + 1)], 0)
-        us = s[: nsb * SB].reshape(nsb, SB).min(axis=1) & ~(ALIGN - 1)
-        ue = e[: nsb * SB].reshape(nsb, SB).max(axis=1)
-        u_max = max(u_max, int(np.maximum(ue - us, 0).max()))
+    for q in range(Q_CAP):
+        in_q = (q_idx == q) & ~empty_sb
+        ok_q = in_q.any(axis=1)
+        if not ok_q.any():
+            continue
+        q_own = np.where(in_q, own_sb, big).min(axis=1)
+        uy0 = np.where(in_q, ylo.reshape(NSB, G), big).min(axis=1)
+        uy1 = np.where(in_q, yhi.reshape(NSB, G), -big).max(axis=1)
+        uz0 = np.where(in_q, zlo.reshape(NSB, G), big).min(axis=1)
+        uz1 = np.where(in_q, zhi.reshape(NSB, G), -big).max(axis=1)
+        for dp in (-1, 0, 1):
+            plane = q_own + dp
+            ok = ok_q & (plane >= 0) & (plane < g[0])
+            if not ok.any():
+                continue
+            if dim == 3:
+                i_lo = (plane * g[1] + uy0) * g[2] + uz0
+                i_hi = (plane * g[1] + uy1) * g[2] + uz1
+            else:
+                i_lo = plane * g[1] + uz0
+                i_hi = plane * g[1] + uz1
+            us = (t_start[np.clip(i_lo, 0, ncells)] & ~(ALIGN - 1))
+            ue = t_end[np.clip(i_hi, 0, ncells)]
+            span = np.where(ok, ue - us, 0)
+            u_max = max(u_max, int(span.max()))
 
     su = int(np.ceil(u_max * margin / DT) * DT)
     return max(min(su, ((n + DT - 1) // DT) * DT), 1024)
 
 
 class CxDma(Cx):
-    """Cx view for the DMA engine: validity is the exact per-particle index
-    range (replaces window-valid + row-match); blocks/slabs are (1, B)/(1, WT)
-    VMEM reads."""
+    """Cx view for the DMA engine: validity is the strict radius test plus a
+    SCALAR per-(sub-block, plane, row) range test (tile-granularity
+    disjointness); blocks/slabs are (1, B)/(1, WT) VMEM reads; sums are
+    deferred (1, B, WT) contribution matrices the engine accumulates."""
 
-    def __init__(self, blocks, slabs, jg, st_i, en_i, gidx, params):
+    def __init__(self, blocks, slabs, jg, st, en, gidx, params):
         self._b = blocks
         self._s = slabs
         self._jg = jg          # (1, 1, WT) global candidate index
-        self._st = st_i        # (1, B, 1) range start for this segment
-        self._en = en_i        # (1, B, 1) range end
+        self._st = st          # () scalar window start
+        self._en = en          # () scalar window end
         self._gidx = gidx      # (1, B, 1) center global index
         self.params = params
         self.dim = params.dim
@@ -280,12 +399,21 @@ class CxDma(Cx):
             mask = mask & (d2 < self.params.support_radius ** 2)
         return R, d2, mask
 
+    @staticmethod
+    def sum(x, mask):
+        """Deferred reduction: return the masked (1, B, WT) contribution
+        matrix; the engine accumulates matrices across window tiles and
+        reduces over the lane axis ONCE per sub-block — the per-tile
+        log-step lane reduction (7 full-vector ops per output per tile)
+        was the dominant per-pair cost."""
+        return jnp.where(mask, x, 0.0)
+
 
 def _probe_shapes(kern, window_names, center_names, params):
     def probe(b_, s_):
         z = jnp.zeros
-        cx = CxDma(b_, s_, z((1, 1, WT), jnp.int32), z((1, B, 1), jnp.int32),
-                   z((1, B, 1), jnp.int32), z((1, B, 1), jnp.int32), params)
+        cx = CxDma(b_, s_, z((1, 1, WT), jnp.int32), jnp.int32(0),
+                   jnp.int32(0), z((1, B, 1), jnp.int32), params)
         return kern(cx)
     bs = {k: jax.ShapeDtypeStruct((1, B, 1), jnp.float32)
           for k in center_names}
@@ -293,15 +421,14 @@ def _probe_shapes(kern, window_names, center_names, params):
     return jax.eval_shape(probe, bs, ss)
 
 
-def _kernel(meta_ref, fmat, bmat, *rest, kern, out_names, window_rows,
+def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
             center_rows, params, F_pad, NSB):
     G = params.pair_dma_group
     SB = B * G
     SU = params.pair_dma_su
-    NS_m = 3 if params.dim == 3 else 1
     n_out = len(out_names)
     out_refs = rest[:n_out]
-    win, cen, bnd, sem, csem, bsem = rest[n_out:]
+    win, cen, sem, csem = rest[n_out:]
 
     sb = pl.program_id(0)
     row = jax.lax.rem(sb, 8)
@@ -309,72 +436,87 @@ def _kernel(meta_ref, fmat, bmat, *rest, kern, out_names, window_rows,
     cstart = pl.multiple_of(sb * SB, 128)
     cdma = pltpu.make_async_copy(fmat.at[:, pl.ds(cstart, SB)], cen, csem)
     cdma.start()
-    bdma = pltpu.make_async_copy(bmat.at[:, pl.ds(cstart, SB)], bnd, bsem)
-    bdma.start()
 
-    for s in range(NS_m):
-        st = meta_ref[row, OFF_USTART + s]
+    for s in range(Q_CAP * 3):
+        st_u = meta_ref[row, OFF_USTART + s]
         nt = meta_ref[row, OFF_UTILES + s]
 
-        def issue(t, _, s=s, st=st):
-            src = pl.multiple_of(st + t * DT, 128)
-            dst = pl.multiple_of(t * DT, 128)
+        def issue(t, _, s=s, st_u=st_u):
+            src = pl.multiple_of(st_u + t * DT, 128)
+            dst = pl.multiple_of(s * SU + t * DT, 128)
             pltpu.make_async_copy(
                 fmat.at[:, pl.ds(src, DT)],
-                win.at[s, :, pl.ds(dst, DT)],
+                win.at[:, pl.ds(dst, DT)],
                 sem.at[s]).start()
             return 0
         jax.lax.fori_loop(0, nt, issue, 0, unroll=False)
 
     cdma.wait()
-    bdma.wait()
-    for s in range(NS_m):
+    for s in range(Q_CAP * 3):
         nt = meta_ref[row, OFF_UTILES + s]
 
         def wdone(t, _, s=s):
             pltpu.make_async_copy(
                 fmat.at[:, pl.ds(0, DT)],
-                win.at[s, :, pl.ds(0, DT)],
+                win.at[:, pl.ds(0, DT)],
                 sem.at[s]).wait()
             return 0
         jax.lax.fori_loop(0, nt, wdone, 0, unroll=False)
 
-    off_nt = OFF_TILELO + G * NS_m
-
-    def sub_block(g_i, _):
-        coff = pl.multiple_of(g_i * B, 128)
-        blocks = {name: cen[r:r + 1, pl.ds(coff, B)].reshape(1, B, 1)
-                  for name, r in center_rows.items()}
-        gidx = (sb * SB + coff +
+    # static sub-block loop: B = 64 center offsets are not 128-lane-aligned,
+    # so centers are read in 128-wide pairs (static offsets) and sliced on
+    # the sublane axis after the lane->sublane relayout
+    for g_i in range(G):
+        pair_off = (g_i // 2) * 128
+        half = (g_i % 2) * B
+        blocks = {
+            name: cen[r:r + 1, pair_off:pair_off + 128]
+            .reshape(1, 128, 1)[:, half:half + B, :]
+            for name, r in center_rows.items()}
+        gidx = (sb * SB + g_i * B +
                 jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1))
-        accs = tuple(jnp.zeros((1, B), jnp.float32) for _ in out_names)
+        rcnt = meta_ref[row, OFF_RCNT + g_i]
+        q_i = meta_ref[row, OFF_QIDX + g_i]
+        wbase = g_i * (3 * R_CAP * 2)
+        # deferred reduction: accumulate full (1, B, WT) contribution
+        # matrices across tiles, reduce over lanes once per sub-block
+        accs = tuple(jnp.zeros((1, B, WT), jnp.float32) for _ in out_names)
 
-        for s in range(NS_m):
-            st_i = bnd[2 * s:2 * s + 1, pl.ds(coff, B)].reshape(1, B, 1)
-            en_i = bnd[2 * s + 1:2 * s + 2, pl.ds(coff, B)].reshape(1, B, 1)
-            useg = meta_ref[row, OFF_USTART + s]
-            tile_lo = meta_ref[row, OFF_TILELO + g_i * NS_m + s]
-            nt = meta_ref[row, off_nt + g_i * NS_m + s]
+        for sp in range(3):   # own plane -1 / 0 / +1
+            slot = q_i * 3 + sp
+            useg = meta_ref[row, OFF_USTART + slot]
+            cap = meta_ref[row, OFF_UTILES + slot] * (DT // WT)
 
-            def tile(t, accs, s=s, st_i=st_i, en_i=en_i, useg=useg,
-                     tile_lo=tile_lo):
-                base = pl.multiple_of((tile_lo + t) * WT, 128)
-                slabs = {name: win[s, r:r + 1, pl.ds(base, WT)].reshape(1, WT)
-                         for name, r in window_rows.items()}
-                jg = (useg + base +
-                      jax.lax.broadcasted_iota(jnp.int32, (1, 1, WT), 2))
-                cx = CxDma(blocks, slabs, jg, st_i, en_i, gidx, params)
-                out = kern(cx)
-                return tuple(a + out[k].reshape(1, B)
-                             for a, k in zip(accs, out_names))
+            def row_body(rk, accs, sp=sp, slot=slot, useg=useg, cap=cap,
+                         wbase=wbase, blocks=blocks, gidx=gidx):
+                st = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2]
+                en = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2 + 1]
+                t_lo = jnp.maximum(st - useg, 0) // WT
+                t_hi = jnp.minimum(
+                    (jnp.maximum(en - useg, 0) + WT - 1) // WT, cap)
 
-            accs = jax.lax.fori_loop(0, nt, tile, accs, unroll=False)
+                def tile(t, accs, slot=slot, st=st, en=en, useg=useg,
+                         blocks=blocks, gidx=gidx):
+                    # slot rides the lane axis: SU is a multiple of 128, so
+                    # slot * SU + t * WT is provably 128-aligned
+                    base = pl.multiple_of(slot * SU + t * WT, 128)
+                    slabs = {name: win[r:r + 1,
+                                       pl.ds(base, WT)].reshape(1, WT)
+                             for name, r in window_rows.items()}
+                    jg = (useg + t * WT +
+                          jax.lax.broadcasted_iota(jnp.int32, (1, 1, WT), 2))
+                    cx = CxDma(blocks, slabs, jg, st, en, gidx, params)
+                    out = kern(cx)
+                    return tuple(a + jnp.broadcast_to(out[k], (1, B, WT))
+                                 for a, k in zip(accs, out_names))
+
+                return jax.lax.fori_loop(t_lo, t_hi, tile, accs,
+                                         unroll=False)
+
+            accs = jax.lax.fori_loop(0, rcnt, row_body, accs, unroll=False)
 
         for oref, a in zip(out_refs, accs):
-            oref[pl.ds(0, 1), pl.ds(0, 1), pl.ds(coff, B)] = a.reshape(1, 1, B)
-        return 0
-
-    jax.lax.fori_loop(0, G, sub_block, 0, unroll=False)
+            oref[0:1, g_i:g_i + 1, :] = jnp.sum(a, axis=2).reshape(1, 1, B)
 
 
 def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
@@ -427,7 +569,7 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         _kernel, kern=kern, out_names=out_names, window_rows=window_rows,
         center_rows=center_rows, params=params, F_pad=F_pad, NSB=NSB)
 
-    NS_m = env.ns_m
+    W = env.wtab.shape[1]
     interpret = jax.default_backend() != "tpu"
     outs = pl.pallas_call(
         kern_fn,
@@ -435,22 +577,21 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         in_specs=[
             pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, W), lambda i: (i // 8, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[pl.BlockSpec((1, 1, SB), lambda i: (i, 0, 0),
+        out_specs=[pl.BlockSpec((1, G, B), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)] * len(out_names),
-        out_shape=[jax.ShapeDtypeStruct((NSB, 1, SB), jnp.float32)
+        out_shape=[jax.ShapeDtypeStruct((NSB, G, B), jnp.float32)
                    for _ in out_names],
         scratch_shapes=[
-            pltpu.VMEM((NS_m, F_pad, SU), jnp.float32),
+            pltpu.VMEM((F_pad, Q_CAP * 3 * SU), jnp.float32),
             pltpu.VMEM((F_pad, SB), jnp.float32),
-            pltpu.VMEM((8, SB), jnp.int32),
-            pltpu.SemaphoreType.DMA((NS_m,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((Q_CAP * 3,)),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(env.meta_pack, mat, env.bounds)
+    )(env.meta_pack, env.wtab, mat)
     return _collect({k: o.reshape(NSB, SB) for k, o in zip(out_names, outs)},
                     n)

@@ -60,9 +60,14 @@ def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
         idx = (wstart + base +
                jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0))
         oh = (idx == perm_b).astype(jnp.float32)             # (PT, OB)
+        # precision=HIGHEST is load-bearing: the MXU's default bf16 path
+        # silently rounds every permuted field to bf16 (measured: carried
+        # positions off by ~0.4% on v5e); the bf16x3 HIGHEST path is exact
+        # for one-hot x f32 products
         return acc + jax.lax.dot_general(
             w, oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     acc = jax.lax.fori_loop(0, ntiles, tile,
                             jnp.zeros((F_pad, OB), jnp.float32),

@@ -56,8 +56,9 @@ def halo_width(params: SimParams, n_local: int) -> int:
     engine's block size so the extended array stays block-aligned, and capped
     at one full neighbor shard (the exchange is single-hop)."""
     if params.resolved_pair_backend() == "pallas_dma":
+        from ..ops import pair_dma
         h = params.pair_dma_su
-        m = 128 * params.pair_dma_group
+        m = pair_dma.B * params.pair_dma_group
     else:
         h = max(params.pair_slab, params.pair_slab_big)
         m = params.pair_block
@@ -177,9 +178,11 @@ def spatial_step_fn(params: SimParams, mesh: Mesh, template: SimState):
     D = mesh.devices.size
     assert params.n_pad % D == 0, "n_pad must divide over the mesh"
     n_local = params.n_pad // D
-    blk = (128 * params.pair_dma_group
-           if params.resolved_pair_backend() == "pallas_dma"
-           else params.pair_block)
+    if params.resolved_pair_backend() == "pallas_dma":
+        from ..ops import pair_dma
+        blk = pair_dma.B * params.pair_dma_group
+    else:
+        blk = params.pair_block
     assert n_local % blk == 0, \
         f"local shard {n_local} must be a multiple of the engine block {blk}"
     params_sp = dataclasses.replace(params, spmd_axis=AXIS)

@@ -60,7 +60,12 @@ def sort_state(state: SimState, params: SimParams) -> SimState:
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
-    perm = nblib.sort_permutation(cells)
+    if params.resolved_pair_backend() == "pallas_dma":
+        # plane-padded layout: sub-blocks never cross x-planes, which keeps
+        # the DMA engine's rectangle hulls compact (ops/neighbors.py)
+        perm = nblib.plane_padded_permutation(cells, params)
+    else:
+        perm = nblib.sort_permutation(cells)
 
     pkeys, extras = permuted_keys(params)
     use_kernel = (params.resolved_pair_backend() == "pallas_dma" and

@@ -59,7 +59,10 @@ def settled(method, dt=5e-4, steps=40):
     return _RUNS[key]
 
 
-@pytest.mark.parametrize("method", ["wcsph", "dfsph", "pcisph", "iisph"])
+@pytest.mark.parametrize("method", [
+    "wcsph", "dfsph", "pcisph",
+    # IISPH compiles the slowest relaxed-Jacobi loop; covered in the slow tier
+    pytest.param("iisph", marks=pytest.mark.slow)])
 def test_dam_break_settles(method):
     scene, state, diag = settled(method)
     p = state.particles

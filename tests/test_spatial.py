@@ -39,7 +39,9 @@ def sorted_fluid_pos(state):
     return r[np.lexsort(r.T)]
 
 
-@pytest.mark.parametrize("method", ["wcsph", "dfsph"])
+@pytest.mark.parametrize("method", [
+    # wcsph exercises nothing dfsph's two-segment path doesn't; slow tier
+    pytest.param("wcsph", marks=pytest.mark.slow), "dfsph"])
 def test_spatial_matches_single_device(method):
     steps = 3
     cfg = dam_cfg(method)

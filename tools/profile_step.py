@@ -146,23 +146,25 @@ def main():
     # window-tightness metrics from the env meta
     env = state.cached_neighbors
     if hasattr(env, "meta_pack"):
+        from sph_project_tpu.ops import pair_dma as pd
         meta = np.asarray(env.meta_pack)
+        wtab = np.asarray(env.wtab)
         G = env.group
-        NS_m = env.ns_m
-        SB = 128 * G
+        SB = pd.B * G
         NSB = params.n_pad // SB
-        off_nt = 16 + G * NS_m
-        ntiles = meta[:NSB, off_nt:off_nt + G * NS_m].reshape(NSB, G, NS_m)
-        u_tiles = meta[:NSB, 8:8 + NS_m]
-        total_tiles = int(ntiles.sum())
-        scanned_per_particle = total_tiles * 128 * 128 / params.n_particles
-        dma_bytes = int(u_tiles.sum()) * 512 * 4 * 8  # DT * 4B * F_pad(>=8)
-        print(f"compute tiles/pass: {total_tiles} "
-              f"(scanned cands/particle ≈ {scanned_per_particle:.0f}); "
-              f"pair-slots/s in corr pass ≈ "
-              f"{total_tiles * 128 * 128 * 2 / t_corr:.2e}")
-        print(f"union DMA/pass ≈ {dma_bytes / 1e6:.0f} MB "
-              f"(avg u_tiles/seg {u_tiles.mean():.1f})")
+        u_tiles = meta[:NSB, pd.OFF_UTILES:pd.OFF_UTILES + pd.Q_CAP * 3]
+        w = wtab[:NSB].reshape(NSB, G, 3, pd.R_CAP, 2)
+        st, en = w[..., 0], w[..., 1]
+        # compute tiles: ceil window spans at WT granularity (approx: ignore
+        # union-relative alignment, add one tile per nonempty window)
+        span = np.maximum(en - st, 0)
+        tiles = np.where(span > 0, (span + pd.WT - 1) // pd.WT + 0, 0)
+        total_tiles = int(tiles.sum())
+        scanned = total_tiles * pd.WT * pd.B / params.n_particles
+        print(f"compute tiles/pass ≈ {total_tiles} of (B={pd.B},WT) "
+              f"(scanned cands/particle ≈ {scanned:.0f}); overflow="
+              f"{int(np.asarray(env.overflow))}")
+        print(f"union DMA/pass ≈ {int(u_tiles.sum()) * pd.DT * 4 * 8 / 1e6:.0f} MB")
 
     iters = (int(diag["solver_iters"]), int(diag["div_iters"]))
     print(f"step        {t_step*1e3:8.1f} ms   (dens_iters={iters[0]} "
