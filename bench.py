@@ -2,12 +2,17 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-The reference publishes no throughput numbers (BASELINE.md: no timing code in
-the repo, "published": {}). vs_baseline is therefore measured against an
-*estimated* A100-Taichi figure for the same workload class: Taichi DFSPH at
-~1M particles with its per-iteration host sync runs O(5-15) steps/s on A100,
-i.e. ~1e7 particle-steps/s. We use 1.0e7 as the denominator until a measured
-reference number replaces it.
+Default scene: the reference's 1.23M-particle headline demo scale
+(final_scene0.json class; README.md:50-53 in jason-huang03/SPH_Project).
+
+The reference publishes no throughput numbers and cannot be run here
+(taichi is not installed; no package installation or network egress).
+vs_baseline divides by 1.0e7 particle-steps/s — the TOP of the plausible
+A100-Taichi band derived in BASELINE.md ("Why the denominator is
+estimated"): the reference's own demo arithmetic implies 1.2e6-6e6, and
+published GPU-SPH throughput for iterative pressure solvers clusters at
+1e6-1e7 on A100-class parts. The denominator is deliberately generous to
+the reference.
 
 Tunnel-hardened measurement protocol (the TPU here is reached through a
 remote-execution tunnel with quirks):
@@ -64,7 +69,7 @@ def build(n_target: int, backend: str | None = None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=400_000, help="target particle count")
+    ap.add_argument("--n", type=int, default=1_230_000, help="target particle count")
     ap.add_argument("--chunk", type=int, default=25, help="steps per scan dispatch")
     ap.add_argument("--reps", type=int, default=3, help="timed scan dispatches")
     ap.add_argument("--verbose", action="store_true")
@@ -83,8 +88,10 @@ def main():
     float(state.t)  # force completion
 
     # single-step dispatches (a lax.scan wrapper doubles peak memory and
-    # kills the TPU worker at 1.23M particles); per-rep scalar-fetch sync
-    step = jax.jit(simlib.get_step_fn(params))
+    # kills the TPU worker at 1.23M particles); per-rep scalar-fetch sync.
+    # donate_argnums halves peak memory (input+output copies of every
+    # particle array) — required at 1.23M
+    step = simlib._jitted_step(params)
 
     # warmup: compile + settle the fluid so correctors do realistic work
     iters = None

@@ -98,6 +98,9 @@ class SimParams:
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
     has_entries: bool = True               # static: deferred entryTime / emitter
+    # one-hot MXU permute kernel for the per-step sort; scenes whose deferred
+    # entries exceed the kernel's sparse-fix budget use exact gathers instead
+    sort_kernel: bool = True
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
     contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
     contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)

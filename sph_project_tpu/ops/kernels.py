@@ -29,6 +29,48 @@ def cubic_W(r: jnp.ndarray, h: float, dim: int) -> jnp.ndarray:
     return jnp.where(q <= 1.0, w, 0.0)
 
 
+def _cubic_norm(h: float, dim: int) -> float:
+    if dim == 1:
+        k = 4.0 / 3.0
+    elif dim == 2:
+        k = 40.0 / 7.0 / math.pi
+    else:
+        k = 8.0 / math.pi
+    return k / h ** dim
+
+
+def cubic_w_gw_d2(d2: jnp.ndarray, h: float, dim: int,
+                  need_w: bool = True, need_gw: bool = True):
+    """(W, gw) from SQUARED distance — the pair engines' hot form.
+
+    One ``rsqrt`` replaces the sqrt + division of the r-native forms
+    (gw = c(q)/(|R| h), with the near branch's q cancelling analytically);
+    measured ~25% of per-pair VPU work at 405k. Callers' pair masks already
+    enforce the strict q < 1 support (cells are exactly h wide), so the
+    outer cutoff select is skipped here — out-of-support lanes may hold
+    garbage, which ``Cx.sum``'s where-select discards.
+    """
+    k = _cubic_norm(h, dim)
+    inv_r = jnp.sqrt(1.0 / jnp.maximum(d2, 1e-24))
+    q = jnp.minimum(d2 * inv_r / h, 1.0)
+    near = q <= 0.5
+    w = gw = None
+    if need_w:
+        q2 = q * q
+        one_q = 1.0 - q
+        w = jnp.where(near, k * (6.0 * q * q2 - 6.0 * q2 + 1.0),
+                      k * 2.0 * one_q * one_q * one_q)
+    if need_gw:
+        one_q = 1.0 - q
+        # c/(q h^2): near branch q cancels; far branch uses h*inv_r == 1/q
+        gw_near = 3.0 * q - 2.0
+        gw_far = -one_q * one_q * (h * inv_r)
+        gw = (6.0 * k / (h * h)) * jnp.where(near, gw_near, gw_far)
+        # reference zeroes the gradient inside |R| <= 1e-5 (base_solver.py:86)
+        gw = jnp.where(d2 > 1e-10, gw, 0.0)
+    return w, gw
+
+
 def cubic_W0(h: float, dim: int) -> float:
     """W(0) as a python float (used for the self-density contribution)."""
     if dim == 1:

@@ -141,33 +141,28 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
 
     out = {k: o.reshape(n) for k, o in zip(names, outs)}
 
-    # sparse exact fix: slots whose source fell outside their block's span
-    # (plane-crossers; typically a handful per step). argsort(covered) puts
-    # uncovered slots first; re-gathering already-covered slots among the
-    # K_FIX is a harmless identical overwrite. If crossers ever exceed K_FIX
-    # (a violent whole-domain shuffle), the full-gather branch restores exactness.
+    # sparse exact fix, UNCONDITIONAL: slots whose source fell outside their
+    # block's clamped span (x-plane crossers; O(100)/step in steady state).
+    # argsort(covered) puts uncovered slots first; re-gathering covered slots
+    # among the K_FIX is a harmless identical overwrite. A lax.cond fallback
+    # here measured 104 ms/step on v5e — a conditional in the middle of the
+    # step poisons XLA's whole schedule — so instead exactness beyond K_FIX
+    # is the CALLER's contract: shuffles bigger than K_FIX (a fresh state's
+    # first sort, >8k-particle entry bursts) must use the exact gather path
+    # (sim.sort_state use_kernel=False / params.sort_kernel), and the
+    # returned overflow count makes any violation loud.
     covered = (perm >= wstart.repeat(OB)) & \
               (perm < (wstart + capped * PT).repeat(OB))
     n_unc = jnp.sum(~covered)
     fix_idx = jnp.argsort(covered)[:K_FIX]
     src = perm[fix_idx]
-    mat_rows = [mat[i, :n] for i in range(len(names))]
-
-    def sparse_fix(args):
-        out_v, mat_v = args
-        return {k: out_v[k].at[fix_idx].set(mat_v[i][src])
-                for i, k in enumerate(names)}
-
-    def full_fix(args):
-        out_v, mat_v = args
-        return {k: jnp.where(covered, out_v[k], mat_v[i][perm])
-                for i, k in enumerate(names)}
-
-    out = jax.lax.cond(n_unc > K_FIX, full_fix, sparse_fix, (out, mat_rows))
+    out = {k: out[k].at[fix_idx].set(mat[i, :n][src])
+           for i, k in enumerate(names)}
+    overflow = jnp.maximum(n_unc - K_FIX, 0).astype(jnp.int32)
 
     merged = _collect(dict(out), n)
     res = {}
     for k, v in arrays.items():
         m = merged[k]
         res[k] = m.astype(v.dtype) if m.dtype != v.dtype else m
-    return res
+    return res, overflow

@@ -190,7 +190,8 @@ def spatial_step_fn(params: SimParams, mesh: Mesh, template: SimState):
                          params.n_pad)
 
     def resort(state):
-        return simlib.sort_state(state, params_sp)
+        state, _ = simlib.sort_state(state, params_sp)
+        return state
 
     def smap(fn):
         return jax.shard_map(fn, mesh=mesh, in_specs=(specs,),

@@ -49,14 +49,20 @@ def permuted_keys(params: SimParams) -> tuple:
     return tuple(keys), tuple(extras)
 
 
-def sort_state(state: SimState, params: SimParams) -> SimState:
+def sort_state(state: SimState, params: SimParams,
+               exact: bool = False):
     """Sort the carried per-particle arrays by grid cell (the reference's
     counting sort, base_container.py:495-547).
 
     Measured on v5e: argsort + the one-hot MXU permute kernel (ops/permute.py)
     beats both a multi-operand lax.sort and XLA's per-field gathers. The
     kernel path is skipped off-TPU and under spatial sharding (a Pallas
-    custom call cannot be auto-partitioned)."""
+    custom call cannot be auto-partitioned). ``exact=True`` forces the plain
+    gather path — required for shuffles bigger than the kernel's sparse-fix
+    budget (a fresh state's first sort; scenes with big deferred-entry
+    objects set params.sort_kernel=False for the same reason).
+
+    Returns (sorted state, sort overflow count)."""
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
@@ -68,13 +74,15 @@ def sort_state(state: SimState, params: SimParams) -> SimState:
         perm = nblib.sort_permutation(cells)
 
     pkeys, extras = permuted_keys(params)
-    use_kernel = (params.resolved_pair_backend() == "pallas_dma" and
+    overflow = jnp.int32(0)
+    use_kernel = (not exact and params.sort_kernel and
+                  params.resolved_pair_backend() == "pallas_dma" and
                   jax.default_backend() == "tpu" and not params.spmd_axis)
     if use_kernel:
         from .ops import permute as permlib
         arrays = {k: getattr(p, k) for k in pkeys}
         arrays.update({k: getattr(state, k) for k in extras})
-        out = permlib.permute_fields(perm, arrays)
+        out, overflow = permlib.permute_fields(perm, arrays)
         state = state.replace(**{k: out.pop(k) for k in extras})
         p = p.replace(**out)
     else:
@@ -89,7 +97,7 @@ def sort_state(state: SimState, params: SimParams) -> SimState:
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p)
+    return state.replace(particles=p), overflow
 
 
 def produces_output(p: ParticleState, rigid: RigidState,
@@ -123,16 +131,19 @@ class Plumbing:
     be swapped in."""
 
     @staticmethod
-    def neighbor_prep(state: SimState, params: SimParams) -> Tuple[SimState, pairs.PairEnv]:
+    def neighbor_prep(state: SimState, params: SimParams,
+                      exact_sort: bool = False
+                      ) -> Tuple[SimState, pairs.PairEnv]:
         """Sort every per-particle array by grid cell and build the dense
         pair windows (the reference's prepare_neighborhood_search,
         base_container.py:544-547)."""
-        state = sort_state(state, params)
+        state, sort_ovf = sort_state(state, params, exact=exact_sort)
         p = state.particles
         active = p.material != MATERIAL_NONE
         cells_sorted = nblib.flat_cell_ids(p.pos, active, params)
         produces = produces_output(p, state.rigid, params)
         env = build_env(p, cells_sorted, produces, params)
+        env = env.replace(overflow=env.overflow + sort_ovf)
         return state, env
 
     @staticmethod
@@ -283,7 +294,8 @@ def prepare(state: SimState, params: SimParams) -> SimState:
     p = common.prepare_emitter(p, params)
     p = common.renew_rigid_particle_state(p, rigid, params)
     state = state.replace(particles=p)
-    state, env = Plumbing.neighbor_prep(state, params)
+    # the first sort of a fresh state is an arbitrary shuffle — exact gather
+    state, env = Plumbing.neighbor_prep(state, params, exact_sort=True)
     p = state.particles
     if params.has_rigid:
         # one-time volumes for ALL rigid particles (incl. static walls, whose

@@ -101,11 +101,19 @@ def reduce_wrench(
 
 
 def _w_d2(d2, params):
+    if params.kernel_type == "cubic":
+        w, _ = kernels.cubic_w_gw_d2(d2, params.support_radius, params.dim,
+                                     need_gw=False)
+        return w
     return kernels.W(jnp.sqrt(d2), params.support_radius, params.dim,
                      params.kernel_type)
 
 
 def _gw_coef(d2, params):
+    if params.kernel_type == "cubic":
+        _, gw = kernels.cubic_w_gw_d2(d2, params.support_radius, params.dim,
+                                      need_w=False)
+        return gw
     return kernels.grad_W_coef(jnp.sqrt(d2), params.support_radius,
                                params.dim, params.kernel_type)
 

@@ -68,7 +68,7 @@ def main():
     def sort_once(s, eps):
         p = s.particles
         s = s.replace(particles=p.replace(pos=p.pos + eps))
-        return simlib.sort_state(s, params)
+        return simlib.sort_state(s, params)[0]
 
     eps = 1e-9
     t_sort = timeit(lambda s: sort_once(s, eps), state, args.reps, sync_state)
