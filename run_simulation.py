@@ -31,6 +31,9 @@ def main():
                         help="JSONL file for per-step telemetry")
     parser.add_argument("--resume", default=None,
                         help="checkpoint directory to resume from")
+    parser.add_argument("--viewer", type=int, default=0, metavar="PORT",
+                        help="serve a live browser view on this port "
+                             "(the GGUI-window counterpart; 0 = off)")
     args = parser.parse_args()
 
     if args.device:
@@ -81,15 +84,27 @@ def main():
     print(f"Simulation method: {params.simulation_method}")
     print(f"particles: {params.n_particles}  dt: {dt}  steps: {total_rounds}")
 
+    viewer = None
+    if args.viewer:
+        from sph_project_tpu.io.viewer import LiveViewer
+        viewer = LiveViewer(params, port=args.viewer)
+        print(f"live viewer: http://localhost:{viewer.port}")
+
     from sph_project_tpu.utils.telemetry import StepTelemetry
     telem = StepTelemetry(log_file=args.log_json,
                           print_every=0 if args.quiet else 1)
     start_cnt = int(sim.state.step_count)
+    t_prev = time.perf_counter()
     for cnt in range(start_cnt, total_rounds):
         diag = sim.step()
         telem.record(diag, cnt, params.n_particles)
         if exporter is not None and cnt % output_interval == 0:
             exporter.dump(sim.state, cnt)
+        if viewer is not None and cnt % max(output_interval // 4, 1) == 0:
+            now = time.perf_counter()
+            viewer.update(sim.state,
+                          steps_per_s=1.0 / max(now - t_prev, 1e-9))
+            t_prev = now
         if args.checkpoint_interval and cnt and cnt % args.checkpoint_interval == 0:
             from sph_project_tpu.io import checkpoint
             checkpoint.save(os.path.join(out_dir, "ckpt"), sim.state)

@@ -61,16 +61,21 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
         struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array as a PNG (no imaging deps)."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as PNG bytes (no imaging deps)."""
     h, w, _ = rgb.shape
     raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
     out = b"\x89PNG\r\n\x1a\n"
     out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
     out += _png_chunk(b"IDAT", zlib.compress(raw, 6))
     out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array as a PNG (no imaging deps)."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(png_bytes(rgb))
 
 
 def rasterize_particles(pos: np.ndarray, colors: np.ndarray,

@@ -126,8 +126,12 @@ def plane_padded_permutation(cells: jnp.ndarray,
     out_live = jnp.minimum(out_live, n - 1)  # safety (n_pad plane budget)
     occupied = jnp.zeros((n,), jnp.int32).at[
         jnp.where(sent, n, out_live)].set(1, mode="drop")
-    # free slots in ascending index order absorb the sentinel records
-    free = jnp.argsort(occupied, stable=True)
+    # free slots in ascending index order absorb the sentinel records;
+    # rank-compaction via cumsum + scatter (cheaper than an argsort)
+    free_rank = jnp.cumsum(1 - occupied) - (1 - occupied)
+    free = jnp.zeros((n,), jnp.int32).at[
+        jnp.where(occupied == 1, n, free_rank)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     out_sent = free[jnp.clip(k - base_sorted[gx], 0, n - 1)]
     out_pos = jnp.where(sent, out_sent, out_live)
     perm = jnp.zeros((n,), jnp.int32).at[out_pos].set(order.astype(jnp.int32))

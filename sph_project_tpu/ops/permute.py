@@ -153,8 +153,14 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     # returned overflow count makes any violation loud.
     covered = (perm >= wstart.repeat(OB)) & \
               (perm < (wstart + capped * PT).repeat(OB))
-    n_unc = jnp.sum(~covered)
-    fix_idx = jnp.argsort(covered)[:K_FIX]
+    unc = (~covered).astype(jnp.int32)
+    n_unc = jnp.sum(unc)
+    # rank-compaction of the uncovered indices (cheaper than an argsort);
+    # unfilled fix slots stay 0 — a harmless exact rewrite of slot 0
+    unc_rank = jnp.cumsum(unc) - unc
+    fix_idx = jnp.zeros((K_FIX,), jnp.int32).at[
+        jnp.where((unc == 1) & (unc_rank < K_FIX), unc_rank, K_FIX)].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
     src = perm[fix_idx]
     out = {k: out[k].at[fix_idx].set(mat[i, :n][src])
            for i, k in enumerate(names)}
