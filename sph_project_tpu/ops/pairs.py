@@ -198,8 +198,12 @@ def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
         return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
                    round_to)
 
-    # keep the flagged fraction well under the M = NB/pair_big_frac budget
+    # keep the flagged fraction well under the M = NB/pair_big_frac budget.
+    # A scene can start with zero producing blocks (a pure emitter whose
+    # fluid all sits above g_upper) — size from the overall max then
     quant = 1.0 - 0.5 / max(params.pair_big_frac, 2)
+    if not block_out.any():
+        return rnd(float(block_max.max())), 0
     S_small = rnd(float(np.quantile(block_max_out[block_out], quant)))
     # S_big with extra headroom: fluid redistributes during the run and the
     # flagged (output) blocks' windows can grow (thin streams crossing plane

@@ -142,13 +142,20 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
 
     fluid_ids, rigid_ids = [], []
 
+    def _vec(v, default):
+        # 2D scenes in the wild carry 3-vectors for translation/scale
+        # (the reference simply ignores the extras); trim to dim
+        a = np.asarray(v if v is not None else default, np.float64)
+        return a[:dim]
+
     for blk in cfg.get_fluid_blocks():
-        offset = np.asarray(blk.get("translation", [0.0] * dim), np.float64)
-        start = np.asarray(blk["start"], np.float64) + offset
-        end = np.asarray(blk["end"], np.float64) + offset
-        scale = np.asarray(blk.get("scale", [1.0] * dim), np.float64)
+        offset = _vec(blk.get("translation"), [0.0] * dim)
+        start = np.asarray(blk["start"], np.float64)[:dim] + offset
+        end = np.asarray(blk["end"], np.float64)[:dim] + offset
+        scale = _vec(blk.get("scale"), [1.0] * dim)
         pts = shapes.cube_lattice(start, (end - start) * scale, spacing)
-        add_chunk(blk["objectId"], pts, blk.get("velocity", [0.0] * dim),
+        add_chunk(blk["objectId"], pts,
+                  list(_vec(blk.get("velocity"), [0.0] * dim)),
                   blk.get("density", 1000.0), MATERIAL_FLUID, 1,
                   blk.get("entryTime", -1.0), blk.get("color", (50, 100, 200)),
                   blk.get("visible", 1))

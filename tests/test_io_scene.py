@@ -7,6 +7,7 @@ reference's ``np.arange(start, end, 2r)`` block fill
 (base_container.py:753-798) and the PCISPH stiffness follows its ideal-lattice
 sum (PCISPH.py:128-151), so drift in either breaks scene parity.
 """
+import glob
 import json
 import os
 
@@ -91,3 +92,40 @@ def test_scene_explicit_zero_viscosity(tmp_path):
     path.write_text(json.dumps(spec))
     scene, _ = load_scene(str(path))
     assert scene.params.viscosity == 0.0
+
+
+SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "scenes")
+
+
+@pytest.mark.parametrize("scene_json", sorted(
+    os.path.basename(p) for p in glob.glob(os.path.join(SCENES_DIR, "*.json"))))
+def test_scene_library_loads(scene_json):
+    """Every shipped scene must at least build params + a seeded state.
+
+    Mesh-based scenes resolve geometry through SPH_ASSET_ROOT and voxelize
+    on the host (minutes for the dragon meshes), so they are only checked
+    for asset resolvability here, not fully instantiated."""
+    import json as jsonlib
+    path = os.path.join(SCENES_DIR, scene_json)
+    with open(path) as f:
+        doc = jsonlib.load(f)
+    meshy = any(
+        "geometryFile" in body
+        for key in ("RigidBodies", "FluidBodies")
+        for body in doc.get(key, []))
+    if meshy:
+        from sph_project_tpu.scene import _resolve_path
+        for key in ("RigidBodies", "FluidBodies"):
+            for body in doc.get(key, []):
+                p = _resolve_path(body["geometryFile"])
+                if not os.path.exists(p):
+                    pytest.skip(f"mesh asset not available: {p}")
+        pytest.skip("mesh voxelization is minutes-slow; load path covered "
+                    "by test_rigid's OBJ scenes")
+    if doc.get("Configuration", {}).get("totalTime", 0) and \
+            scene_json == "large_scale_dfsph.json":
+        pytest.skip("1.23M-particle host lattice is slow on one CPU core")
+    scene, state = load_scene(path)
+    assert scene.params.n_particles > 0
+    import numpy as np
+    assert np.isfinite(np.asarray(state.particles.pos)).all()
