@@ -111,6 +111,11 @@ def main():
     steps_per_s = args.chunk / best
     pps = steps_per_s * params.n_particles
     assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), "NaN in benchmark"
+    # window/sort overflow is REPORTED (transient spray-edge truncations of
+    # a few hundred candidates out of ~1e9 scanned can occur at the budget
+    # margin); a large value means degraded physics and fails the run
+    ovf = int(diag["neighbor_overflow"])
+    assert ovf < 100_000, f"window/sort overflow {ovf}: physics degraded"
     if args.verbose:
         print(f"# n={params.n_particles} times={['%.2f' % t for t in times]} "
               f"steps/s={steps_per_s:.1f} dens_iters={int(iters[0])} "
@@ -120,6 +125,7 @@ def main():
         "value": round(pps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(pps / A100_TAICHI_ESTIMATE, 3),
+        "overflow": ovf,
     }))
 
 

@@ -88,7 +88,7 @@ class SimParams:
     pair_big_frac: int = 16
     # kernel-side-DMA engine (ops/pair_dma.py; pair_backend == "pallas_dma")
     pair_dma_group: int = 8                # G: sub-blocks (of B=64) per superblock
-    pair_dma_su: int = 2048                # per-plane union VMEM budget (cols)
+    pair_dma_su: int = 16384               # per-superblock window VMEM lane budget
 
     # spatial multi-chip execution (parallel/spatial.py): when set, the step
     # runs inside shard_map over this mesh axis — global reductions psum, the

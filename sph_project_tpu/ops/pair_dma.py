@@ -62,8 +62,9 @@ R_CAP = 8      # row slots per sub-block (y-hull width cap; last slot merges
 # meta row column offsets (one (128,) i32 row per superblock)
 OFF_USTART = 0           # Q_CAP*3 entries: per-(cluster, dp) union start
 OFF_UTILES = 24          # Q_CAP*3 entries: per-(cluster, dp) DMA tile count
-OFF_RCNT = 48            # G entries: row-slot count per sub-block
-OFF_QIDX = 56            # G entries: sub-block cluster index
+OFF_DST = 48             # Q_CAP*3 entries: per-slot VMEM lane offset
+OFF_RCNT = 72            # G entries: row-slot count per sub-block
+OFF_QIDX = 80            # G entries: sub-block cluster index
 
 
 class DmaPairEnv(struct.PyTreeNode):
@@ -126,7 +127,17 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     NSb = n // B
     NSB = n // SB
 
-    coords = nblib.cell_coords(pos, params)
+    # coords are DECODED from the sorted cell ids, never recomputed from
+    # positions: edge-sitting particles round to different cells under
+    # different XLA fusion contexts (fma vs mul+add), and any disagreement
+    # with the layout the sort built silently degrades windows
+    cid = jnp.clip(cells_sorted, 0, ncells - 1)
+    if dim == 3:
+        coords = jnp.stack([cid // (g[1] * g[2]),
+                            (cid // g[2]) % g[1],
+                            cid % g[2]], axis=1)
+    else:
+        coords = jnp.stack([cid // g[1], cid % g[1]], axis=1)
     t_start, t_end = _occurrence_table(cells_sorted, ncells)
 
     live = (cells_sorted < ncells) & (cells_sorted >= 0)
@@ -201,8 +212,19 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     u_start = jnp.minimum(u_start, n)
     u_end = jnp.where(slot_ok, t_end[jnp.clip(u_hi_idx, 0, ncells)], 0)
     u_len = jnp.maximum(u_end - u_start, 0)
-    u_tiles = jnp.clip((u_len + DT - 1) // DT, 0, SU // DT).astype(jnp.int32)
-    u_cover = (u_start + u_tiles * DT).reshape(NSB, Q_CAP * 3)
+    # heterogeneous slot sizing: slots share one SU-lane VMEM budget via a
+    # per-superblock running layout, so a sparse spray-edge block whose
+    # cluster union spans a whole plane takes the lanes it needs instead of
+    # hitting a fixed per-slot cap (the per-slot design truncated ~6k
+    # candidates/step on the falling dam break)
+    want = ((u_len + DT - 1) // DT).reshape(NSB, Q_CAP * 3)
+    dst = jnp.concatenate(
+        [jnp.zeros((NSB, 1), want.dtype),
+         jnp.cumsum(want, axis=1)[:, :-1]], axis=1) * DT
+    avail = jnp.maximum(SU - dst, 0) // DT
+    u_tiles = jnp.minimum(want, avail).astype(jnp.int32)
+    dst = jnp.minimum(dst, SU - DT).astype(jnp.int32)
+    u_cover = (u_start.reshape(NSB, Q_CAP * 3) + u_tiles * DT)
 
     # ---- per-(sub-block, +-1 plane, row) windows (compute side) -----------
     dp = jnp.arange(3, dtype=jnp.int32)[None, :, None] - 1        # (1,3,1)
@@ -236,6 +258,7 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
         u_start.reshape(NSB, Q_CAP * 3))
     meta = meta.at[:NSB, OFF_UTILES:OFF_UTILES + Q_CAP * 3].set(
         u_tiles.reshape(NSB, Q_CAP * 3))
+    meta = meta.at[:NSB, OFF_DST:OFF_DST + Q_CAP * 3].set(dst)
     meta = meta.at[:NSB, OFF_RCNT:OFF_RCNT + G].set(rcnt.reshape(NSB, G))
     meta = meta.at[:NSB, OFF_QIDX:OFF_QIDX + G].set(q_idx_c)
 
@@ -246,7 +269,7 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
 
 
 def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
-                margin: float = 1.6,
+                margin: float = 2.2,
                 output_mask: "np.ndarray" = None) -> int:
     """Host-side estimate of the per-plane union VMEM budget SU for a scene.
 
@@ -333,7 +356,7 @@ def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
                           (own_sb[:, 1:] != own_sb[:, :-1]).astype(np.int64)],
                          axis=1)
     q_idx = np.cumsum(chg, axis=1) - 1
-    u_max = 1
+    tot = np.zeros(NSB, np.int64)   # per-superblock total slot lanes
     for q in range(Q_CAP):
         in_q = (q_idx == q) & ~empty_sb
         ok_q = in_q.any(axis=1)
@@ -357,11 +380,11 @@ def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
                 i_hi = plane * g[1] + uz1
             us = (t_start[np.clip(i_lo, 0, ncells)] & ~(ALIGN - 1))
             ue = t_end[np.clip(i_hi, 0, ncells)]
-            span = np.where(ok, ue - us, 0)
-            u_max = max(u_max, int(span.max()))
+            span = np.where(ok, np.maximum(ue - us, 0), 0)
+            tot += (span + DT - 1) // DT * DT
 
-    su = int(np.ceil(u_max * margin / DT) * DT)
-    return max(min(su, ((n + DT - 1) // DT) * DT), 1024)
+    su = int(np.ceil(max(int(tot.max()), 1) * margin / DT) * DT)
+    return max(su, 2048)
 
 
 class CxDma(Cx):
@@ -440,10 +463,11 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
     for s in range(Q_CAP * 3):
         st_u = meta_ref[row, OFF_USTART + s]
         nt = meta_ref[row, OFF_UTILES + s]
+        dst_s = meta_ref[row, OFF_DST + s]
 
-        def issue(t, _, s=s, st_u=st_u):
+        def issue(t, _, s=s, st_u=st_u, dst_s=dst_s):
             src = pl.multiple_of(st_u + t * DT, 128)
-            dst = pl.multiple_of(s * SU + t * DT, 128)
+            dst = pl.multiple_of(dst_s + t * DT, 128)
             pltpu.make_async_copy(
                 fmat.at[:, pl.ds(src, DT)],
                 win.at[:, pl.ds(dst, DT)],
@@ -486,20 +510,21 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
             slot = q_i * 3 + sp
             useg = meta_ref[row, OFF_USTART + slot]
             cap = meta_ref[row, OFF_UTILES + slot] * (DT // WT)
+            dst_s = meta_ref[row, OFF_DST + slot]
 
             def row_body(rk, accs, sp=sp, slot=slot, useg=useg, cap=cap,
-                         wbase=wbase, blocks=blocks, gidx=gidx):
+                         dst_s=dst_s, wbase=wbase, blocks=blocks, gidx=gidx):
                 st = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2]
                 en = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2 + 1]
                 t_lo = jnp.maximum(st - useg, 0) // WT
                 t_hi = jnp.minimum(
                     (jnp.maximum(en - useg, 0) + WT - 1) // WT, cap)
 
-                def tile(t, accs, slot=slot, st=st, en=en, useg=useg,
+                def tile(t, accs, st=st, en=en, useg=useg, dst_s=dst_s,
                          blocks=blocks, gidx=gidx):
-                    # slot rides the lane axis: SU is a multiple of 128, so
-                    # slot * SU + t * WT is provably 128-aligned
-                    base = pl.multiple_of(slot * SU + t * WT, 128)
+                    # per-slot lane offsets are DT-aligned by construction
+                    # (exclusive cumsum of DT-granular slot sizes)
+                    base = pl.multiple_of(dst_s + t * WT, 128)
                     slabs = {name: win[r:r + 1,
                                        pl.ds(base, WT)].reshape(1, WT)
                              for name, r in window_rows.items()}
@@ -586,7 +611,7 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         out_shape=[jax.ShapeDtypeStruct((NSB, G, B), jnp.float32)
                    for _ in out_names],
         scratch_shapes=[
-            pltpu.VMEM((F_pad, Q_CAP * 3 * SU), jnp.float32),
+            pltpu.VMEM((F_pad, SU), jnp.float32),
             pltpu.VMEM((F_pad, SB), jnp.float32),
             pltpu.SemaphoreType.DMA((Q_CAP * 3,)),
             pltpu.SemaphoreType.DMA(()),

@@ -38,6 +38,7 @@ def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
     row = jax.lax.rem(b, 8)
     wstart = meta_ref[row, 0]
     ntiles = meta_ref[row, 1]
+    nfar = meta_ref[row, 2]
     perm_b = perm_ref[0, 0, :].reshape(1, OB)               # (1, OB) i32
 
     def issue(t, _):
@@ -48,30 +49,54 @@ def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
         return 0
     jax.lax.fori_loop(0, ntiles, issue, 0, unroll=False)
 
+    # far tiles: extra source tiles covering this block's out-of-span
+    # sources (x-plane crossers jump ~a plane run but cluster into a couple
+    # of far regions); they land after the span tiles in win
+    def issue_far(e, _):
+        src = pl.multiple_of(meta_ref[row, 8 + e], 128)
+        dst = pl.multiple_of((ntiles + e) * PT, 128)
+        pltpu.make_async_copy(fmat.at[:, pl.ds(src, PT)],
+                              win.at[:, pl.ds(dst, PT)], sem).start()
+        return 0
+    jax.lax.fori_loop(0, nfar, issue_far, 0, unroll=False)
+
     def wait(t, _):
         pltpu.make_async_copy(fmat.at[:, pl.ds(0, PT)],
                               win.at[:, pl.ds(0, PT)], sem).wait()
         return 0
-    jax.lax.fori_loop(0, ntiles, wait, 0, unroll=False)
+    jax.lax.fori_loop(0, ntiles + nfar, wait, 0, unroll=False)
 
-    def tile(t, acc):
-        base = pl.multiple_of(t * PT, 128)
-        w = win[:, pl.ds(base, PT)]                          # (F_pad, PT)
-        idx = (wstart + base +
+    def onehot_acc(base_src, base_dst, acc, excl_span):
+        w = win[:, pl.ds(base_dst, PT)]                      # (F_pad, PT)
+        idx = (base_src +
                jax.lax.broadcasted_iota(jnp.int32, (PT, 1), 0))
-        oh = (idx == perm_b).astype(jnp.float32)             # (PT, OB)
+        oh = idx == perm_b                                   # (PT, OB)
+        if excl_span:
+            # a far tile may overlap the span; only its out-of-span part
+            # belongs to it (the span tiles already covered the rest)
+            oh = oh & ((idx < wstart) | (idx >= wstart + ntiles * PT))
         # precision=HIGHEST is load-bearing: the MXU's default bf16 path
-        # silently rounds every permuted field to bf16 (measured: carried
+        # silently rounds every carried field to bf16 (measured: carried
         # positions off by ~0.4% on v5e); the bf16x3 HIGHEST path is exact
         # for one-hot x f32 products
         return acc + jax.lax.dot_general(
-            w, oh, (((1,), (0,)), ((), ())),
+            w, oh.astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)
+
+    def tile(t, acc):
+        return onehot_acc(wstart + t * PT, pl.multiple_of(t * PT, 128),
+                          acc, False)
 
     acc = jax.lax.fori_loop(0, ntiles, tile,
                             jnp.zeros((F_pad, OB), jnp.float32),
                             unroll=False)
+
+    def far_tile(e, acc):
+        return onehot_acc(meta_ref[row, 8 + e],
+                          pl.multiple_of((ntiles + e) * PT, 128), acc, True)
+
+    acc = jax.lax.fori_loop(0, nfar, far_tile, acc, unroll=False)
     for f, oref in enumerate(out_refs):
         oref[pl.ds(0, 1), pl.ds(0, 1), :] = acc[f:f + 1, :].reshape(1, 1, OB)
 
@@ -87,7 +112,8 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     NB = n // OB
 
     SU = 4096    # VMEM span budget per block
-    K_FIX = 8192  # slots repaired by the sparse exact-fix pass
+    E_FAR = 4    # far source tiles per block (plane-crosser clusters)
+    K_FIX = 2048  # sparse-fix budget for the residual stragglers
 
     comps = _split(dict(arrays))
     names = sorted(comps)
@@ -109,10 +135,35 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     wend = jnp.max(pc, axis=1) + 1
     ntiles = ((wend - wstart + PT - 1) // PT).astype(jnp.int32)
     capped = jnp.clip(ntiles, 0, SU // PT)
+
+    # far tiles: x-plane crossers (10-16k/step in settled flows at 405k)
+    # jump ~a plane run beyond the span, but cluster into a couple of far
+    # source regions per block; the kernel covers up to E_FAR extra 512-wide
+    # source tiles so the sparse scatter fix only handles stragglers
+    # (TPU scatters cost ~0.2-1us per updated row — 32k-slot fixes measured
+    # ~80 ms/step)
+    big32 = jnp.int32(1 << 30)
+    cov_span = (pb >= wstart[:, None]) &         (pb < (wstart + capped * PT)[:, None])
+    tid = pb // PT
+    tid_unc = jnp.where(cov_span, big32, tid)
+    tsorted = jnp.sort(tid_unc, axis=1)
+    firsts = jnp.concatenate(
+        [jnp.ones((NB, 1), bool), tsorted[:, 1:] != tsorted[:, :-1]], axis=1)
+    drank = jnp.cumsum(firsts.astype(jnp.int32), axis=1) - 1
+    far = jnp.stack([
+        jnp.min(jnp.where(firsts & (drank == e), tsorted, big32), axis=1)
+        for e in range(E_FAR)], axis=1)                     # (NB, E)
+    nfar = jnp.sum(far < big32, axis=1).astype(jnp.int32)
+    cov_far = jnp.any(tid[:, :, None] == far[:, None, :], axis=2)
+    covered = (cov_span | cov_far).reshape(-1)
+
     nb_pad = ((NB + 7) // 8) * 8
     meta = jnp.zeros((nb_pad, 128), jnp.int32)
     meta = meta.at[:NB, 0].set(wstart)
     meta = meta.at[:NB, 1].set(capped)
+    meta = meta.at[:NB, 2].set(nfar)
+    meta = meta.at[:NB, 8:8 + E_FAR].set(
+        jnp.where(far < big32, far * PT, 0).astype(jnp.int32))
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -133,7 +184,7 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
         out_shape=[jax.ShapeDtypeStruct((NB, 1, OB), jnp.float32)
                    for _ in names],
         scratch_shapes=[
-            pltpu.VMEM((F_pad, SU), jnp.float32),
+            pltpu.VMEM((F_pad, SU + E_FAR * PT), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -141,18 +192,14 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
 
     out = {k: o.reshape(n) for k, o in zip(names, outs)}
 
-    # sparse exact fix, UNCONDITIONAL: slots whose source fell outside their
-    # block's clamped span (x-plane crossers; O(100)/step in steady state).
-    # argsort(covered) puts uncovered slots first; re-gathering covered slots
-    # among the K_FIX is a harmless identical overwrite. A lax.cond fallback
-    # here measured 104 ms/step on v5e — a conditional in the middle of the
-    # step poisons XLA's whole schedule — so instead exactness beyond K_FIX
-    # is the CALLER's contract: shuffles bigger than K_FIX (a fresh state's
-    # first sort, >8k-particle entry bursts) must use the exact gather path
+    # sparse exact fix, UNCONDITIONAL: slots whose source fell outside the
+    # span AND the far tiles (residual stragglers). A lax.cond fallback here
+    # measured 104 ms/step on v5e — a conditional in the middle of the step
+    # poisons XLA's whole schedule — so exactness beyond K_FIX is the
+    # CALLER's contract: shuffles bigger than the combined coverage (a fresh
+    # state's first sort, huge entry bursts) must use the exact gather path
     # (sim.sort_state use_kernel=False / params.sort_kernel), and the
     # returned overflow count makes any violation loud.
-    covered = (perm >= wstart.repeat(OB)) & \
-              (perm < (wstart + capped * PT).repeat(OB))
     unc = (~covered).astype(jnp.int32)
     n_unc = jnp.sum(unc)
     # rank-compaction of the uncovered indices (cheaper than an argsort);

@@ -114,11 +114,22 @@ class SpatialPlumbing(simlib.Plumbing):
         axis = params.spmd_axis
         p = state.particles
         H = halo_width(params, p.pos.shape[0])
-        ext = extend_fields({"pos": p.pos, "material": p.material,
-                             "object_id": p.object_id,
-                             "is_dynamic": p.is_dynamic}, H, axis)
-        active = ext["material"] != MATERIAL_NONE
-        cells = nblib.flat_cell_ids(ext["pos"], active, params)
+        # the resort stashes its sorted cell ids in cached_neighbors so the
+        # env uses the EXACT ids the layout was built with (recomputing from
+        # positions can round edge-sitters differently across fusion
+        # contexts; see sim.sort_state)
+        fields = {"pos": p.pos, "material": p.material,
+                  "object_id": p.object_id, "is_dynamic": p.is_dynamic}
+        have_cells = state.cached_neighbors is not None and \
+            getattr(state.cached_neighbors, "ndim", None) == 1
+        if have_cells:
+            fields["cells"] = state.cached_neighbors
+        ext = extend_fields(fields, H, axis)
+        if have_cells:
+            cells = ext["cells"]
+        else:
+            active = ext["material"] != MATERIAL_NONE
+            cells = nblib.flat_cell_ids(ext["pos"], active, params)
         # sentinel the not-received halo slots so the extended array stays
         # cell-ascending: -1 in front (left end), num_cells at the back
         idx = jax.lax.axis_index(axis)
@@ -186,12 +197,14 @@ def spatial_step_fn(params: SimParams, mesh: Mesh, template: SimState):
     assert n_local % blk == 0, \
         f"local shard {n_local} must be a multiple of the engine block {blk}"
     params_sp = dataclasses.replace(params, spmd_axis=AXIS)
-    specs = _state_specs(template.replace(cached_neighbors=None),
+    # cached_neighbors transports the resort's cell ids into the shard_map
+    cells_tpl = jnp.zeros((params.n_pad,), jnp.int32)
+    specs = _state_specs(template.replace(cached_neighbors=cells_tpl),
                          params.n_pad)
 
     def resort(state):
-        state, _ = simlib.sort_state(state, params_sp)
-        return state
+        state, cells, _ = simlib.sort_state(state, params_sp)
+        return state.replace(cached_neighbors=cells)
 
     def smap(fn):
         return jax.shard_map(fn, mesh=mesh, in_specs=(specs,),
@@ -216,8 +229,12 @@ def spatial_step_fn(params: SimParams, mesh: Mesh, template: SimState):
         inner = simlib.get_step_fn(params_sp, plumbing=SpatialPlumbing)
 
         def inner_fn(state):
+            cells_local = state.cached_neighbors
             state, diag = inner(state)
-            return state.replace(cached_neighbors=None), diag
+            # solvers cache their env; restore the cells-shaped slot so the
+            # shard_map output structure matches its input
+            return state.replace(
+                cached_neighbors=jnp.zeros_like(cells_local)), diag
         inner_sm = smap(inner_fn)
 
         def step(state):

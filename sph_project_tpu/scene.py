@@ -234,7 +234,7 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         cfg.get_cfg("gravitationUpper") is not None
     # deferred entries bigger than the sort kernel's sparse-fix budget would
     # shuffle more slots than it can repair on their entry step (ops/permute.py)
-    if any(c["entry"] > 0 and c["pos"].shape[0] > 4000 for c in chunks):
+    if any(c["entry"] > 0 and c["pos"].shape[0] > 16000 for c in chunks):
         kw["sort_kernel"] = False
     params = make_params(n_particles, **kw)
 

@@ -62,7 +62,13 @@ def sort_state(state: SimState, params: SimParams,
     budget (a fresh state's first sort; scenes with big deferred-entry
     objects set params.sort_kernel=False for the same reason).
 
-    Returns (sorted state, sort overflow count)."""
+    Returns (sorted state, sorted cell ids, sort overflow count). The cell
+    ids MUST be consumed by the window build rather than recomputed from the
+    sorted positions: edge-sitting particles (a settled lattice puts many
+    exactly on cell boundaries) can round to DIFFERENT cells under different
+    XLA fusion contexts (fma vs mul+add), and a layout/window disagreement
+    on the plane id silently degrades windows (measured: ~700 phantom
+    multi-plane blocks and ~6k overflow per step at 405k)."""
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
@@ -97,7 +103,7 @@ def sort_state(state: SimState, params: SimParams,
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p), overflow
+    return state.replace(particles=p), cells[perm], overflow
 
 
 def produces_output(p: ParticleState, rigid: RigidState,
@@ -137,10 +143,9 @@ class Plumbing:
         """Sort every per-particle array by grid cell and build the dense
         pair windows (the reference's prepare_neighborhood_search,
         base_container.py:544-547)."""
-        state, sort_ovf = sort_state(state, params, exact=exact_sort)
+        state, cells_sorted, sort_ovf = sort_state(state, params,
+                                                   exact=exact_sort)
         p = state.particles
-        active = p.material != MATERIAL_NONE
-        cells_sorted = nblib.flat_cell_ids(p.pos, active, params)
         produces = produces_output(p, state.rigid, params)
         env = build_env(p, cells_sorted, produces, params)
         env = env.replace(overflow=env.overflow + sort_ovf)
