@@ -81,10 +81,6 @@ class DmaPairEnv(struct.PyTreeNode):
     group: int = struct.field(pytree_node=False, default=8)
 
 
-def _superblock(params: SimParams) -> int:
-    return B * params.pair_dma_group
-
-
 def _occurrence_table(cells_sorted: jnp.ndarray, ncells: int):
     """Cell -> particle-index tables from the (plane-padded) sorted order.
 
@@ -271,7 +267,7 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
 def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
                 margin: float = 2.2,
                 output_mask: "np.ndarray" = None) -> int:
-    """Host-side estimate of the per-plane union VMEM budget SU for a scene.
+    """Host-side estimate of the per-superblock TOTAL window lane budget.
 
     Mirrors make_dma_env's superblock hull computation in numpy on the
     initial state; ``margin`` covers densification during the run and the
@@ -448,7 +444,6 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
             center_rows, params, F_pad, NSB):
     G = params.pair_dma_group
     SB = B * G
-    SU = params.pair_dma_su
     n_out = len(out_names)
     out_refs = rest[:n_out]
     win, cen, sem, csem = rest[n_out:]
