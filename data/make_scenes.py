@@ -180,6 +180,15 @@ SCENES = {
         "FluidBlocks": [fluid_block(1, (20.0, 5.0), (55.0, 45.0),
                                     vel=(0, 0))],
     },
+    # small dam break for demos / quick eyeballing (PLY export on)
+    "dam_break_demo": {
+        "Configuration": config((1.0, 0.8, 0.8), "dfsph", 1e-3,
+                                fps=50.0, total=0.5,
+                                extras={"addDomainBox": False,
+                                        "exportPly": True}),
+        "FluidBlocks": [fluid_block(0, (0.06, 0.06, 0.06), (0.4, 0.55, 0.74),
+                                    color=(60, 120, 220))],
+    },
     # tiny scene for smoke tests / CI
     "smoke_test": {
         "Configuration": config((0.5, 0.5, 0.5), "wcsph", 1e-3,

@@ -102,8 +102,11 @@ def main():
             exporter.dump(sim.state, cnt)
         if viewer is not None and cnt % max(output_interval // 4, 1) == 0:
             now = time.perf_counter()
+            # steps elapsed since the previous update, not 1 (the update
+            # fires only every output_interval//4 steps)
             viewer.update(sim.state,
-                          steps_per_s=1.0 / max(now - t_prev, 1e-9))
+                          steps_per_s=max(output_interval // 4, 1) /
+                          max(now - t_prev, 1e-9))
             t_prev = now
         if args.checkpoint_interval and cnt and cnt % args.checkpoint_interval == 0:
             from sph_project_tpu.io import checkpoint

@@ -72,14 +72,14 @@ class PairEnv(struct.PyTreeNode):
         return self.jidx.shape[1]
 
 
-def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
-                       params: SimParams, margin: float = 1.4,
-                       round_to: int = 256) -> int:
-    """Host-side estimate of the needed window cap S for a particle set.
+def _block_window_maxima(pos: "np.ndarray", active: "np.ndarray",
+                         params: SimParams):
+    """Host-side mirror of make_pair_env's window computation in numpy.
 
-    Mirrors make_pair_env's window computation in numpy on the initial state;
-    callers add ``margin`` for densification during the run and watch the
-    runtime ``overflow`` counter for the rest (the JAX-MD rebuild protocol).
+    Returns ``(block_max, order)``: the widest stencil window per block of
+    ``pair_block`` cell-sorted particles, and the sort permutation (so callers
+    can align per-particle masks with the blocks). Shared core of the slab
+    estimators below.
     """
     import numpy as np
 
@@ -87,76 +87,9 @@ def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
     dim = pos.shape[1]
     B = params.pair_block
     g = params.grid_num
+    nb = n // B
     # bit-match the on-device f32 binning (lattice particles sit exactly on
     # cell boundaries; f64 binning here would disagree with the real sort)
-    start_arr = np.asarray(params.domain_start, np.float32)
-    q = (pos.astype(np.float32) - start_arr) / np.float32(params.support_radius)
-    coords = np.floor(q).astype(np.int64)
-    coords = np.clip(coords, 0, np.asarray(g) - 1)
-    if dim == 3:
-        flat = (coords[:, 0] * g[1] + coords[:, 1]) * g[2] + coords[:, 2]
-    else:
-        flat = coords[:, 0] * g[1] + coords[:, 1]
-    ncells = 1
-    for x in g:
-        ncells *= x
-    flat = np.where(active, flat, ncells)
-    order = np.argsort(flat, kind="stable")
-    cells_sorted = flat[order]
-    coords = coords[order]
-
-    if dim == 3:
-        offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
-    else:
-        offsets = [(dx,) for dx in (-1, 0, 1)]
-    cxy = coords[:, :-1]
-    cz = coords[:, -1]
-    zlo = np.maximum(cz - 1, 0)
-    zhi = np.minimum(cz + 1, g[-1] - 1)
-    live = cells_sorted < ncells
-    nb = n // B
-    block_max = np.ones(nb, np.int64)
-    for off in offsets:
-        ncxy = cxy + np.asarray(off)
-        ok = np.all((ncxy >= 0) & (ncxy < np.asarray(g[:-1])), axis=-1) & live
-        if dim == 3:
-            row = ncxy[:, 0] * g[1] + ncxy[:, 1]
-        else:
-            row = ncxy[:, 0]
-        lo = np.searchsorted(cells_sorted, row * g[-1] + zlo)
-        hi = np.searchsorted(cells_sorted, row * g[-1] + zhi + 1)
-        lo = np.where(ok, lo, n)
-        hi = np.where(ok, hi, 0)
-        blo = lo[: nb * B].reshape(nb, B).min(axis=1)
-        bhi = hi[: nb * B].reshape(nb, B).max(axis=1)
-        block_max = np.maximum(block_max, np.maximum(bhi - blo, 0))
-
-    def rnd(x):
-        return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
-                   round_to)
-
-    S = rnd(float(block_max.max()))
-    return S
-
-
-def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
-                        params: SimParams, margin: float = 1.4,
-                        round_to: int = 256,
-                        output_mask: "np.ndarray" = None):
-    """(S_small, S_big) for outlier bucketing: S_small covers all but the
-    worst ~1/(2*pair_big_frac) of blocks, S_big covers the max — both over
-    blocks that actually produce output (``output_mask`` per particle; pure
-    static-wall blocks are exempt from bucketing at runtime too). Returns
-    S_big = 0 when one tier suffices."""
-    import numpy as np
-
-    # reuse the single-tier estimator's window computation via a small shim
-    n = pos.shape[0]
-    B = params.pair_block
-    nb = n // B
-    # recompute block_max (duplicated from estimate_slab_size's core)
-    g = params.grid_num
-    dim = pos.shape[1]
     start_arr = np.asarray(params.domain_start, np.float32)
     q = (pos.astype(np.float32) - start_arr) / np.float32(params.support_radius)
     coords = np.clip(np.floor(q).astype(np.int64), 0, np.asarray(g) - 1)
@@ -186,6 +119,44 @@ def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
         blo = lo[: nb * B].reshape(nb, B).min(axis=1)
         bhi = hi[: nb * B].reshape(nb, B).max(axis=1)
         block_max = np.maximum(block_max, np.maximum(bhi - blo, 0))
+    return block_max, order
+
+
+def estimate_slab_size(pos: "np.ndarray", active: "np.ndarray",
+                       params: SimParams, margin: float = 1.4,
+                       round_to: int = 256) -> int:
+    """Host-side estimate of the needed window cap S for a particle set.
+
+    Callers add ``margin`` for densification during the run and watch the
+    runtime ``overflow`` counter for the rest (the JAX-MD rebuild protocol).
+    """
+    import numpy as np
+
+    n = pos.shape[0]
+    block_max, _ = _block_window_maxima(pos, active, params)
+
+    def rnd(x):
+        return max(min(int(np.ceil(x * margin / round_to) * round_to), n),
+                   round_to)
+
+    return rnd(float(block_max.max()))
+
+
+def estimate_slab_sizes(pos: "np.ndarray", active: "np.ndarray",
+                        params: SimParams, margin: float = 1.4,
+                        round_to: int = 256,
+                        output_mask: "np.ndarray" = None):
+    """(S_small, S_big) for outlier bucketing: S_small covers all but the
+    worst ~1/(2*pair_big_frac) of blocks, S_big covers the max — both over
+    blocks that actually produce output (``output_mask`` per particle; pure
+    static-wall blocks are exempt from bucketing at runtime too). Returns
+    S_big = 0 when one tier suffices."""
+    import numpy as np
+
+    n = pos.shape[0]
+    B = params.pair_block
+    nb = n // B
+    block_max, order = _block_window_maxima(pos, active, params)
 
     if output_mask is not None:
         block_out = output_mask[order][: nb * B].reshape(nb, B).any(axis=1)

@@ -31,6 +31,9 @@ from .pair_exec import _split, _collect
 
 OB = 128      # output block (lanes)
 PT = 512      # DMA tile width
+SU = 4096     # VMEM span budget per block
+E_FAR = 4     # far source tiles per block (plane-crosser clusters)
+K_FIX = 2048  # sparse-fix budget for the residual stragglers
 
 
 def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
@@ -110,10 +113,6 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     n = perm.shape[0]
     assert n % OB == 0
     NB = n // OB
-
-    SU = 4096    # VMEM span budget per block
-    E_FAR = 4    # far source tiles per block (plane-crosser clusters)
-    K_FIX = 2048  # sparse-fix budget for the residual stragglers
 
     comps = _split(dict(arrays))
     names = sorted(comps)

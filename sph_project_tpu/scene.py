@@ -232,9 +232,13 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         kw["has_rigid"] = True
     kw["has_entries"] = any(c["entry"] > 0 for c in chunks) or \
         cfg.get_cfg("gravitationUpper") is not None
-    # deferred entries bigger than the sort kernel's sparse-fix budget would
-    # shuffle more slots than it can repair on their entry step (ops/permute.py)
-    if any(c["entry"] > 0 and c["pos"].shape[0] > 16000 for c in chunks):
+    # Deferred entries shuffle pad-gap slots on their activation step; the
+    # sort kernel can only repair K_FIX scattered out-of-span slots exactly
+    # (ops/permute.py), and slots beyond that budget are ZEROED (particles
+    # silently deleted, surfaced only as an overflow counter). Any entry
+    # burst that could exceed the budget disables the kernel for the run.
+    from .ops.permute import K_FIX
+    if any(c["entry"] > 0 and c["pos"].shape[0] > K_FIX for c in chunks):
         kw["sort_kernel"] = False
     params = make_params(n_particles, **kw)
 
