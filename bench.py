@@ -1,46 +1,58 @@
-"""Benchmark: particle-steps/sec on the flagship DFSPH dam-break.
+"""Benchmark: particle-steps/sec on the flagship DFSPH dam-break scene.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Default scene: the reference's 1.23M-particle headline demo scale
-(final_scene0.json class; README.md:50-53 in jason-huang03/SPH_Project).
+Default workload: ``data/scenes/large_scale_dfsph.json`` — the SHIPPED scene
+file reproducing the reference's 1.23M-particle headline demo geometry
+(final_scene0.json; README.md:50-53 in jason-huang03/SPH_Project): the same
+fluid block (1,231,200 particles at spacing 0.02), domain, dt, viscosity, and
+domain-box walls. ``--n`` switches to a synthetic cube for sweeps.
 
-The reference publishes no throughput numbers and cannot be run here
-(taichi is not installed; no package installation or network egress).
-vs_baseline divides by 1.0e7 particle-steps/s — the TOP of the plausible
-A100-Taichi band derived in BASELINE.md ("Why the denominator is
-estimated"): the reference's own demo arithmetic implies 1.2e6-6e6, and
-published GPU-SPH throughput for iterative pressure solvers clusters at
-1e6-1e7 on A100-class parts. The denominator is deliberately generous to
-the reference.
+Measurement protocol (two operating points, the SETTLED one is the headline):
+- "early fall": timed right after compile, while the column is still falling
+  and the DFSPH correctors converge in ~1 iteration — the *easiest* regime.
+- "settled": timed after ``--settle`` further steps, once the collapsed fluid
+  churns against the floor and the pressure correctors iterate at realistic
+  counts (the reference's workload regime; its solvers print exactly these
+  iteration counts per step, DFSPH.py:159,243). The published value and
+  vs_baseline use THIS number; iteration counts are published beside it.
 
-Tunnel-hardened measurement protocol (the TPU here is reached through a
-remote-execution tunnel with quirks):
-- steps run as ONE `lax.scan` dispatch per timing rep (host-driven step loops
-  would measure dispatch latency, not compute)
-- each rep feeds the previous rep's output (identical-input dispatches are
-  served from a result cache and would time as ~0)
-- sync via a scalar fetch (`float(state.t)`) — `block_until_ready` does not
-  actually wait through the tunnel
-- persistent compilation cache keeps reruns off the slow remote compiler
+The reference publishes no throughput numbers and cannot be run here (taichi
+is not installed; no package installation or network egress). vs_baseline
+divides by 1.0e7 particle-steps/s — the TOP of the plausible A100-Taichi band
+derived in BASELINE.md ("Why the denominator is estimated"). Throughput
+counts FLUID particles only (the walls are overhead both frameworks pay).
+
+Tunnel-hardened details (the TPU is reached through a remote-execution
+tunnel): sync via scalar fetch (`block_until_ready` is a no-op through the
+tunnel); inputs chain rep-to-rep so the dispatch cache can't serve results;
+persistent compilation cache keeps reruns off the slow remote compiler.
+
+Overflow gate: window/sort overflow means dropped neighbor candidates or
+(sort) zeroed records — degraded physics. Publishable runs require ZERO
+overflow on the timed steps; ``--allow-overflow N`` exists only for
+diagnostic sweeps and taints the metric name.
 """
 from __future__ import annotations
 
 import argparse
-import functools
 import json
+import os
 import time
 
 import numpy as np
 
 A100_TAICHI_ESTIMATE = 1.0e7  # particle-steps/sec (see module docstring)
+HERE = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SCENE = os.path.join(HERE, "data", "scenes", "large_scale_dfsph.json")
 
 
-def build(n_target: int, backend: str | None = None):
+def build_synthetic(n_target: int, backend: str | None = None):
     from sph_project_tpu.utils.config import SimConfig
     from sph_project_tpu.scene import load_scene
 
-    # cube with ~n_target particles at spacing 0.02 inside a tall domain
+    # cube with ~n_target particles at spacing 0.02 inside a tall domain,
+    # seeded just above the floor so it compresses under gravity
     side = round(n_target ** (1.0 / 3.0)) * 0.02
     cfg = SimConfig(config={
         "Configuration": {
@@ -51,9 +63,6 @@ def build(n_target: int, backend: str | None = None):
             "simulationMethod": "dfsph", "viscosityMethod": "standard",
             "timeStepSize": 6e-4, "viscosity": 0.05,
         },
-        # block seeded just above the floor: it compresses under gravity so
-        # the pressure correctors iterate at realistic counts (a free-falling
-        # block converges in 1 iteration and would flatter the benchmark)
         "FluidBlocks": [{
             "objectId": 0,
             "start": [0.1, 0.045, 0.1],
@@ -69,63 +78,109 @@ def build(n_target: int, backend: str | None = None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=1_230_000, help="target particle count")
-    ap.add_argument("--chunk", type=int, default=25, help="steps per scan dispatch")
-    ap.add_argument("--reps", type=int, default=3, help="timed scan dispatches")
+    ap.add_argument("--scene", default=DEFAULT_SCENE,
+                    help="scene JSON to benchmark (the shipped headline scene)")
+    ap.add_argument("--n", type=int, default=0,
+                    help="synthetic-cube particle count (overrides --scene)")
+    ap.add_argument("--chunk", type=int, default=25, help="steps per timing rep")
+    ap.add_argument("--reps", type=int, default=3, help="timed reps per phase")
+    ap.add_argument("--settle", type=int, default=250,
+                    help="extra steps before the settled-regime measurement")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--backend", default=None,
                     help="pair engine override (pallas / pallas_dma / jax)")
+    ap.add_argument("--allow-overflow", type=int, default=0,
+                    help="tolerated per-step overflow (diagnostic runs only; "
+                         "taints the metric name)")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sph_project_tpu import sim as simlib
+    from sph_project_tpu.core.params import MATERIAL_FLUID
 
-    scene, state = build(args.n, args.backend)
+    if args.n:
+        scene, state = build_synthetic(args.n, args.backend)
+        workload = f"synthetic cube {args.n}"
+    else:
+        from sph_project_tpu.scene import load_scene
+        kw = {"pair_backend": args.backend} if args.backend else {}
+        scene, state = load_scene(args.scene, **kw)
+        workload = os.path.basename(args.scene)
     params = scene.params
+    n_fluid = sum(o.particle_num for o in scene.objects
+                  if o.material == MATERIAL_FLUID)
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
-    float(state.t)  # force completion
+    float(state.t)  # force completion through the tunnel
 
     # single-step dispatches (a lax.scan wrapper doubles peak memory and
     # kills the TPU worker at 1.23M particles); per-rep scalar-fetch sync.
-    # donate_argnums halves peak memory (input+output copies of every
-    # particle array) — required at 1.23M
+    # donate_argnums halves peak memory — required at 1.23M
     step = simlib._jitted_step(params)
 
-    # warmup: compile + settle the fluid so correctors do realistic work
-    iters = None
-    for _ in range(max(args.chunk // 3, 3)):
-        state, diag = step(state)
-    float(state.t)
+    max_ovf = 0
 
-    times = []
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        for _ in range(args.chunk):
+    def run_steps(n):
+        nonlocal state, max_ovf
+        diag = None
+        for _ in range(n):
             state, diag = step(state)
-        float(state.t)  # sync through the tunnel
-        times.append(time.perf_counter() - t0)
-    iters = (diag["solver_iters"], diag["div_iters"])
-    best = min(times)
-    steps_per_s = args.chunk / best
-    pps = steps_per_s * params.n_particles
-    assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), "NaN in benchmark"
-    # window/sort overflow is REPORTED (transient spray-edge truncations of
-    # a few hundred candidates out of ~1e9 scanned can occur at the budget
-    # margin); a large value means degraded physics and fails the run
-    ovf = int(diag["neighbor_overflow"])
-    assert ovf < 100_000, f"window/sort overflow {ovf}: physics degraded"
-    if args.verbose:
-        print(f"# n={params.n_particles} times={['%.2f' % t for t in times]} "
-              f"steps/s={steps_per_s:.1f} dens_iters={int(iters[0])} "
-              f"div_iters={int(iters[1])}")
+        max_ovf = max(max_ovf, int(diag["neighbor_overflow"]))
+        float(state.t)
+        return diag
+
+    def timed_phase(label):
+        nonlocal state
+        times, diag = [], None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            diag = run_steps(args.chunk)
+            times.append(time.perf_counter() - t0)
+        steps_per_s = args.chunk / min(times)
+        pps = steps_per_s * n_fluid
+        iters = (int(diag["solver_iters"]), int(diag["div_iters"]))
+        if args.verbose:
+            print(f"# {label}: times={['%.2f' % t for t in times]} "
+                  f"steps/s={steps_per_s:.2f} fluid-p-steps/s={pps:.3g} "
+                  f"dens_iters={iters[0]} div_iters={iters[1]}")
+        return pps, iters
+
+    run_steps(3)                       # compile + warm
+    early_pps, early_iters = timed_phase("early-fall")
+
+    # settle: let the column collapse so the correctors do realistic work
+    done = 0
+    while done < args.settle:
+        step_n = min(50, args.settle - done)
+        diag = run_steps(step_n)
+        done += step_n
+        if args.verbose:
+            print(f"# settle {done}/{args.settle}: iters="
+                  f"{int(diag['solver_iters'])}/{int(diag['div_iters'])} "
+                  f"rho_max={float(diag['density_max']):.0f}")
+    pps, iters = timed_phase("settled")
+
+    assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), \
+        "NaN in benchmark"
+    tainted = ""
+    if max_ovf > args.allow_overflow:
+        raise AssertionError(
+            f"window/sort overflow {max_ovf} (> {args.allow_overflow}): "
+            f"physics degraded, number not publishable")
+    if max_ovf > 0:
+        tainted = f" [OVERFLOW {max_ovf}]"
     print(json.dumps({
-        "metric": f"particle-steps/sec (DFSPH dam break, {params.n_particles} particles)",
+        "metric": f"settled particle-steps/sec (DFSPH, {workload}, "
+                  f"{n_fluid} fluid / {params.n_particles} total "
+                  f"particles, iters {iters[0]}/{iters[1]}){tainted}",
         "value": round(pps, 1),
         "unit": "particle-steps/s",
         "vs_baseline": round(pps / A100_TAICHI_ESTIMATE, 3),
-        "overflow": ovf,
+        "early_fall_value": round(early_pps, 1),
+        "early_fall_iters": list(early_iters),
+        "settled_iters": list(iters),
+        "overflow": max_ovf,
     }))
 
 

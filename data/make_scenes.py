@@ -80,10 +80,17 @@ SCENES = {
     "dragon_bath_pcisph": None,   # derived below
     "dragon_bath_dfsph": None,
     "dragon_bath_iisph": None,
-    # large-scale dam break (the 1.23M-particle headline scene class)
+    # large-scale dam break: the reference's 1.23M-particle headline demo,
+    # reproduced with final_scene0.json's exact fluid geometry (fluid block
+    # (0.09,0.2,0.2)-(1.7,4.0,1.8) at spacing 0.02 = 1,231,200 particles,
+    # domain 8.5x8x2, dt 6e-4, viscosity 10/0.3, domain box on; the two
+    # static dragon meshes are omitted — they are scenery, not physics, and
+    # voxelizing them makes the benchmark minutes-slow to build)
     "large_scale_dfsph": {
-        "Configuration": config((6.0, 4.0, 2.0), "dfsph", 6e-4, visc=0.05),
-        "FluidBlocks": [fluid_block(0, (0.2, 0.2, 0.2), (3.8, 3.8, 1.8))],
+        "Configuration": config((8.5, 8.0, 2.0), "dfsph", 6e-4, visc=10.0,
+                                visc_b=0.3, total=15.0),
+        "FluidBlocks": [fluid_block(0, (0.09, 0.2, 0.2), (1.7, 4.0, 1.8),
+                                    vel=(0.0, -0.5, 0.0))],
     },
     # high viscosity implicit solver scene class
     "high_viscosity_implicit": {
@@ -91,6 +98,26 @@ SCENES = {
                                 visc=2000.0, visc_b=2000.0,
                                 visc_method="implicit"),
         "FluidBlocks": [fluid_block(0, (0.9, 4.0, 0.9), (1.6, 6.5, 1.6))],
+    },
+    # high-viscosity melting bunny: the final_scene2 class of the reference
+    # (/root/reference/data/scenes/final_scene2.json) — the fluid is seeded
+    # from a MESH (FluidBodies), not a block: a bunny of honey-like fluid
+    # (implicit viscosity 13000/8000) dropped onto a static platform
+    "high_viscosity_bunny": {
+        "Configuration": config((5.0, 6.0, 5.0), "dfsph", 1e-3,
+                                visc=13000.0, visc_b=8000.0,
+                                visc_method="implicit", total=40.0),
+        "RigidBodies": [
+            rigid_body(1, "./data/models/platform.obj", (2.5, 0.08, 2.5),
+                       angle=90, scale=(0.5, 0.5, 0.5), dynamic=False),
+        ],
+        "FluidBodies": [{
+            "objectId": 0, "geometryFile": "./data/models/bunny.obj",
+            "translation": [2.7, 1.45, 2.5], "rotationAxis": [0, 1, 0],
+            "rotationAngle": 0, "scale": [2.0, 2.0, 2.0],
+            "velocity": [0.0, -0.1, 0.0], "density": 1000.0,
+            "color": [50, 100, 200], "entryTime": -1.0,
+        }],
     },
     # emitter (buckling coil): tall thin stream gated by gravitationUpper
     "buckling_emitter": {

@@ -13,3 +13,9 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the suite's cost is dominated by dozens of jitted
+# step-variant compiles on one CPU core; repeat runs hit the cache (keyed on
+# HLO, so code changes recompile exactly what changed)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -97,35 +97,99 @@ def test_scene_explicit_zero_viscosity(tmp_path):
 SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "scenes")
 
 
-@pytest.mark.parametrize("scene_json", sorted(
-    os.path.basename(p) for p in glob.glob(os.path.join(SCENES_DIR, "*.json"))))
-def test_scene_library_loads(scene_json):
-    """Every shipped scene must at least build params + a seeded state.
+# the one scene whose host build takes >30s on one CPU core (2.25M lattice,
+# 97% domain-box walls); every other shipped scene instantiates in <10s
+_HEAVY_SCENES = {"buckling_emitter.json"}
 
-    Mesh-based scenes resolve geometry through SPH_ASSET_ROOT and voxelize
-    on the host (minutes for the dragon meshes), so they are only checked
-    for asset resolvability here, not fully instantiated."""
+# golden per-scene fluid counts anchoring parity with the reference's demo
+# arithmetic (derived from /root/reference/data/scenes/*.json block dims at
+# spacing 2r; see BASELINE.md): a lattice or loader drift breaks these
+_GOLDEN_FLUID = {
+    "large_scale_dfsph.json": 1_231_200,   # final_scene0's fluid block
+    "dragon_bath_dfsph.json": 321_750,     # dragon_bath block (SURVEY §6)
+}
+
+
+@pytest.mark.parametrize("scene_json", sorted(
+    os.path.basename(p) for p in glob.glob(os.path.join(SCENES_DIR, "*.json"))),
+)
+def test_scene_library_loads(scene_json):
+    """Every shipped scene fully instantiates: params, mesh voxelization,
+    wall shells, and a seeded finite state. Headline scenes must also hit
+    their golden fluid counts (reference-parity anchors)."""
+    if scene_json in _HEAVY_SCENES:
+        pytest.skip("heavy host lattice; covered by the slow tier")
+    _instantiate_and_check(scene_json)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("scene_json", sorted(_HEAVY_SCENES))
+def test_scene_library_loads_heavy(scene_json):
+    _instantiate_and_check(scene_json)
+
+
+def _instantiate_and_check(scene_json):
     import json as jsonlib
     path = os.path.join(SCENES_DIR, scene_json)
     with open(path) as f:
         doc = jsonlib.load(f)
-    meshy = any(
-        "geometryFile" in body
-        for key in ("RigidBodies", "FluidBodies")
-        for body in doc.get(key, []))
-    if meshy:
-        from sph_project_tpu.scene import _resolve_path
-        for key in ("RigidBodies", "FluidBodies"):
-            for body in doc.get(key, []):
-                p = _resolve_path(body["geometryFile"])
-                if not os.path.exists(p):
-                    pytest.skip(f"mesh asset not available: {p}")
-        pytest.skip("mesh voxelization is minutes-slow; load path covered "
-                    "by test_rigid's OBJ scenes")
-    if doc.get("Configuration", {}).get("totalTime", 0) and \
-            scene_json == "large_scale_dfsph.json":
-        pytest.skip("1.23M-particle host lattice is slow on one CPU core")
+    from sph_project_tpu.scene import _resolve_path
+    for key in ("RigidBodies", "FluidBodies"):
+        for body in doc.get(key, []):
+            try:
+                _resolve_path(body["geometryFile"])
+            except FileNotFoundError:
+                pytest.skip(f"mesh asset not available: {body['geometryFile']}")
     scene, state = load_scene(path)
     assert scene.params.n_particles > 0
-    import numpy as np
-    assert np.isfinite(np.asarray(state.particles.pos)).all()
+    mat = np.asarray(state.particles.material)
+    pos = np.asarray(state.particles.pos)
+    active = mat != 0
+    # entry-deferred scenes (emitters) may seed everything as NONE
+    if active.any():
+        assert np.isfinite(pos[active]).all()
+        lo = np.asarray(scene.params.domain_start) - 1e-5
+        hi = np.asarray(scene.params.domain_end) + 1e-5
+        assert (pos[active] >= lo).all() and (pos[active] <= hi).all()
+    golden = _GOLDEN_FLUID.get(scene_json)
+    if golden is not None:
+        n_fluid = sum(o.particle_num for o in scene.objects
+                      if o.material == MATERIAL_FLUID)
+        assert n_fluid == golden, f"fluid count {n_fluid} != golden {golden}"
+
+
+def test_fluid_bodies_scene_instantiates_and_runs(tmp_path):
+    """FluidBodies: fluid seeded from a mesh volume (the final_scene2 class;
+    reference fill path base_container.py:676-717). A small OBJ cube of fluid
+    must voxelize to a full lattice, load, and survive a few DFSPH steps."""
+    from test_rigid import write_cube_obj
+    from sph_project_tpu import sim as simlib
+
+    cube = write_cube_obj(str(tmp_path / "cube.obj"), size=0.12)
+    spec = {
+        "Configuration": {
+            "domainStart": [0, 0, 0], "domainEnd": [0.5, 0.5, 0.5],
+            "addDomainBox": False, "particleRadius": 0.01, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "simulationMethod": "dfsph",
+            "viscosityMethod": "standard", "timeStepSize": 1e-3,
+            "viscosity": 0.05},
+        "FluidBodies": [{
+            "objectId": 0, "geometryFile": cube,
+            "translation": [0.25, 0.1, 0.25], "rotationAxis": [0, 1, 0],
+            "rotationAngle": 0, "scale": [1, 1, 1],
+            "velocity": [0, 0, 0], "density": 1000.0,
+            "color": [50, 100, 200], "entryTime": -1.0}],
+    }
+    path = tmp_path / "fluid_body.json"
+    path.write_text(json.dumps(spec))
+    scene, state = load_scene(str(path))
+    mat = np.asarray(state.particles.material)
+    n_fluid = int((mat == MATERIAL_FLUID).sum())
+    # a 0.12 cube at spacing 0.02 holds a 5-7^3 interior lattice depending on
+    # surface-offset handling; it must be a solid fill, not a shell
+    assert 125 <= n_fluid <= 343, f"unexpected mesh fill count {n_fluid}"
+    sim = simlib.Simulation(scene, state)
+    for _ in range(3):
+        diag = sim.step()
+    assert np.isfinite(np.asarray(sim.state.particles.pos)).all()
+    assert float(diag["density_max"]) < 1300.0

@@ -71,7 +71,6 @@ def test_dma_density_matches_bruteforce():
     np.testing.assert_allclose(dens[act], orc.density, atol=5e-4)
 
 
-@pytest.mark.slow
 def test_dma_matches_jax_backend_wcsph():
     results = []
     for backend in ["pallas_dma", "jax"]:

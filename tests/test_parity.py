@@ -76,6 +76,24 @@ def test_wcsph_trajectory_matches_oracle():
     np.testing.assert_allclose(de.max(), orc.density.max(), rtol=1e-3)
 
 
+def test_dfsph_oracle_parity_quick():
+    """Default-tier DFSPH parity: 25 steps reach first floor contact (the
+    2 mm gap closes at ~step 20 under gravity), so the correctors do real
+    work; iteration counts must track the oracle's every step. The 40-step
+    version below (slow tier) extends through full impact dynamics."""
+    sim, orc = build("dfsph", dt=1e-3)
+    alpha = dens = None
+    for s in range(25):
+        diag = sim.step()
+        alpha, dens, oi, od = orc.step_dfsph(alpha, dens)
+        assert abs(int(diag["solver_iters"]) - oi) <= 2, \
+            f"step {s}: density-solver iters {int(diag['solver_iters'])} vs {oi}"
+        assert abs(int(diag["div_iters"]) - od) <= 2, \
+            f"step {s}: divergence iters {int(diag['div_iters'])} vs {od}"
+    d = nn_dist(sim, orc)
+    assert d.max() < 3e-3, f"trajectory drift {d.max():.2e}"
+
+
 @pytest.mark.slow
 def test_dfsph_matches_oracle_with_iteration_counts():
     sim, orc = build("dfsph", dt=1e-3)
