@@ -119,6 +119,33 @@ SCENES = {
             "color": [50, 100, 200], "entryTime": -1.0,
         }],
     },
+    # 9-rigid coupling pileup: the final_scene1 class of the reference
+    # (/root/reference/data/scenes/final_scene1.json verbatim geometry:
+    # ~771k fluid + 1 dragon + 4 spheres + 4 ducks, all dynamic, falling
+    # into a pool — the workload the exact per-body contact channels exist
+    # for). Uses the reference's OBJ assets via SPH_ASSET_ROOT.
+    "coupling_nine_rigid": {
+        "Configuration": config((2.5, 7.0, 2.5), "dfsph", 7e-4,
+                                visc=13.0, visc_b=0.3),
+        "RigidBodies": [
+            rigid_body(1, "./data/models/dragon.obj", (1.5, 3.4, 1.5),
+                       scale=(0.6, 0.6, 0.6), density=900.0),
+        ] + [
+            rigid_body(oid, "./data/models/sphere.obj", tr,
+                       scale=(0.6, 0.6, 0.6), vel=(0.0, -0.5, 0.0),
+                       density=500.0)
+            for oid, tr in [(2, (0.3, 2.4, 1.25)), (3, (1.1, 2.8, 0.3)),
+                            (4, (2.2, 2.7, 1.15)), (5, (2.2, 2.2, 2.2))]
+        ] + [
+            rigid_body(oid, "./data/models/rubber_duck.obj", tr,
+                       scale=(0.6, 0.6, 0.6), vel=(0.0, -0.5, 0.0),
+                       density=300.0)
+            for oid, tr in [(6, (0.8, 2.3, 0.7)), (7, (2.25, 2.6, 1.7)),
+                            (8, (2.1, 2.2, 1.2)), (9, (1.4, 2.0, 1.4))]
+        ],
+        "FluidBlocks": [fluid_block(0, (0.2, 0.09, 0.11), (2.3, 1.4, 2.38),
+                                    vel=(0.0, -0.5, 0.0))],
+    },
     # emitter (buckling coil): tall thin stream gated by gravitationUpper
     "buckling_emitter": {
         "Configuration": config((4.0, 20.0, 8.0), "dfsph", 1e-3,

@@ -94,6 +94,10 @@ class SimParams:
     # runs inside shard_map over this mesh axis — global reductions psum, the
     # pair engine sees halo-extended local arrays
     spmd_axis: str | None = None
+    # max particles in any single x-cell-plane of the SEEDED scene (set at
+    # scene build); parallel/spatial.halo_width derives the halo size from it
+    # (one plane of reach + growth margin) instead of a VMEM-budget proxy
+    halo_plane_max: int = 0
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
@@ -105,6 +109,14 @@ class SimParams:
     contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
     contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)
     contact_damping: float = 0.1
+    # object ids of DYNAMIC rigid bodies: each gets its own exact contact
+    # channel in the pair pass (rigid/integrator.py rigid_contact_data), so a
+    # particle touching several bodies at once keeps separate records; all
+    # static rigid geometry shares one merged channel (inv mass 0 — the
+    # impulse math cannot tell static bodies apart)
+    contact_channels: tuple = ()
+    contact_iters: int = 4                 # sequential-impulse sweeps per step
+    contact_friction: float = 0.5          # Coulomb mu (Bullet's URDF default)
     wall_friction: float = 0.1
     wall_thickness: float = 0.0            # domain_box_thickness (0.03 w/ addDomainBox)
 

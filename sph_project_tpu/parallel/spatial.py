@@ -51,17 +51,24 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def halo_width(params: SimParams, n_local: int) -> int:
-    """Halo size in particles: must cover the window reach of any boundary
-    particle — the same caps that bound the window engines — rounded to the
-    engine's block size so the extended array stays block-aligned, and capped
-    at one full neighbor shard (the exchange is single-hop)."""
+    """Halo size in particles: must contain every neighbor-shard particle
+    within one support radius of the slab face. The state is x-major
+    cell-sorted, so that set is exactly the neighbor's boundary x-cell-plane
+    (the pair stencil reaches ±1 plane): H = the scene's max per-plane
+    population (measured at seeding, params.halo_plane_max) x1.5 margin for
+    densification, rounded to the engine block so the extended array stays
+    block-aligned, capped at one full neighbor shard (single-hop exchange).
+    Coverage is verified at runtime every step — shortfalls are counted into
+    the overflow diagnostic (see neighbor_prep), never silent."""
     if params.resolved_pair_backend() == "pallas_dma":
         from ..ops import pair_dma
-        h = params.pair_dma_su
+        budget = params.pair_dma_su
         m = pair_dma.B * params.pair_dma_group
     else:
-        h = max(params.pair_slab, params.pair_slab_big)
+        budget = max(params.pair_slab, params.pair_slab_big)
         m = params.pair_block
+    h = int(params.halo_plane_max * 1.5) if params.halo_plane_max > 0 \
+        else budget
     h = min(((h + m - 1) // m) * m, n_local // m * m)
     return max(h, m)
 
@@ -71,10 +78,14 @@ class SpatialEnv(struct.PyTreeNode):
 
     inner: tp.Any
     halo: int = struct.field(pytree_node=False, default=0)
+    # particles a neighbor shard needed but the halo did not contain
+    # (runtime coverage check in neighbor_prep); folded into the overflow
+    # diagnostic so cross-shard physics can never degrade silently
+    halo_shortfall: tp.Any = 0
 
     @property
     def overflow(self):
-        return self.inner.overflow
+        return self.inner.overflow + self.halo_shortfall
 
 
 def halo_extend(x: jnp.ndarray, H: int, axis: str) -> jnp.ndarray:
@@ -148,7 +159,57 @@ class SpatialPlumbing(simlib.Plumbing):
         owned = (pos_i >= H) & (pos_i < n_ext - H)
         produces = produces & owned
         inner = simlib.build_env(_PosView(ext["pos"]), cells, produces, params)
-        return state, SpatialEnv(inner=inner, halo=H)
+        shortfall = SpatialPlumbing._halo_coverage_shortfall(
+            cells[H:n_ext - H], H, params)
+        return state, SpatialEnv(inner=inner, halo=H,
+                                 halo_shortfall=shortfall)
+
+    @staticmethod
+    def _halo_coverage_shortfall(cells_loc: jnp.ndarray, H: int,
+                                 params: SimParams) -> jnp.ndarray:
+        """Count local ACTIVE particles a neighbor shard needs (within one
+        x-cell-plane of that neighbor's first/last owned plane) that sit
+        OUTSIDE the H-slot head/tail actually exchanged. Nonzero means the
+        halo was too small for the current boundary-plane population and
+        cross-shard pair sums silently missed neighbors — folded into the
+        overflow diagnostic. Exact: each device learns its neighbor's
+        boundary plane via a scalar ppermute, so dense planes away from the
+        slab face never false-positive."""
+        axis = params.spmd_axis
+        D = jax.lax.axis_size(axis)
+        idx = jax.lax.axis_index(axis)
+        n_loc = cells_loc.shape[0]
+        if D == 1:
+            return jnp.int32(0)
+        # The state is sorted by flat cell id ((cx*gy + cy)*gz + cz), so a
+        # neighbor's 3^dim stencil reaches at most one plane stride + one row
+        # stride + one cell back from its first owned cell: everything a
+        # neighbor can need from this shard is a contiguous head/tail in cell
+        # order past that threshold (conservative within the boundary row's
+        # z-split; exact enough that dense-scene tests report zero).
+        gy = params.grid_num[1]
+        if params.dim == 3:
+            reach = gy * params.grid_num[2] + params.grid_num[2] + 1
+        else:
+            reach = gy + 1
+        act = (cells_loc >= 0) & (cells_loc < params.num_cells)
+        big = jnp.int32(2 ** 30)
+        cell = jnp.where(act, cells_loc, big)
+        c_first = jnp.min(cell)                          # big if no active
+        c_last = jnp.max(jnp.where(act, cell, -1))
+        # my right neighbor's first owned cell / left neighbor's last
+        right_first = jax.lax.ppermute(
+            c_first, axis, [(i + 1, i) for i in range(D - 1)])
+        left_last = jax.lax.ppermute(
+            c_last, axis, [(i, i + 1) for i in range(D - 1)])
+        i_loc = jnp.arange(n_loc, dtype=jnp.int32)
+        # the tail I send right must hold every particle the right
+        # neighbor's windows can reach (cells >= its first cell - reach)
+        miss_r = act & (i_loc < n_loc - H) & (cell >= right_first - reach) & \
+            (idx < D - 1)
+        # the head I send left must hold all cells <= left's last + reach
+        miss_l = act & (i_loc >= H) & (cell <= left_last + reach) & (idx > 0)
+        return (jnp.sum(miss_r) + jnp.sum(miss_l)).astype(jnp.int32)
 
 
 def spatial_run(kern, env: SpatialEnv, slabs: dict, fields: dict,

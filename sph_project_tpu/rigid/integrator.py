@@ -89,38 +89,67 @@ def rigid_contact_wrench(
     return reduce_wrench(force_pp, torque_pp, p, params)
 
 
-def rigid_contact_data(p: ParticleState, env, params: SimParams) -> dict:
-    """Per-particle contact aggregates between different rigid bodies.
+_CHAN_TAGS = "abcdefghijklmnopqrstuvwxyz"
 
-    For every rigid particle i, penetration-weighted sums over neighbors j of
-    *other* rigid bodies within one particle diameter: total weight, unit
-    normal (pointing toward i's body), and the neighbor's object id — the
-    inputs :func:`resolve_body_contacts` reduces into body-pair impulses.
+
+def _chan_tags(params: SimParams):
+    """Output-name tags: one per dynamic body channel + 'st' for the merged
+    static channel (letters, so pair_exec's digit-suffix vector packing only
+    fires on the trailing component index)."""
+    n = len(params.contact_channels)
+    assert n <= len(_CHAN_TAGS), f"{n} dynamic rigid bodies > channel tags"
+    return [_CHAN_TAGS[i] for i in range(n)] + ["st"]
+
+
+def rigid_contact_data(p: ParticleState, rigid: RigidState, env,
+                       params: SimParams) -> dict:
+    """Per-particle, per-BODY contact aggregates between rigid bodies.
+
+    Every dynamic rigid body (``params.contact_channels``) gets its own exact
+    output channel: for rigid particle i, the penetration-weighted sums over
+    neighbors j belonging to THAT body within one particle diameter — total
+    weight ``cw_<tag>`` and unit normal ``cn_<tag>`` (pointing toward i). A
+    particle simultaneously touching bodies 1 and 3 therefore produces two
+    separate records (the round-1/2 scheme averaged the neighbor ids — body
+    2 — and misdirected pileup impulses). All static rigid geometry (domain
+    box, static meshes) shares the merged ``st`` channel: static bodies are
+    indistinguishable to the impulse solve (inverse mass 0). Emitter
+    placeholders (fluid flipped rigid above g_upper, base_solver.py:17-23)
+    are excluded via the true-body flag.
     """
     from ..ops import pair_exec
 
     d0 = params.particle_diameter
     dim = params.dim
+    chans = params.contact_channels
+    tags = _chan_tags(params)
 
     def kern(cx):
         R, d2, mask = cx.geometry()
         dist = jnp.sqrt(d2)
+        sobj = cx.slab("object_id")
         touching = (cx.blk("material") == MATERIAL_RIGID) & \
                    (cx.slab("material") == MATERIAL_RIGID) & \
-                   (cx.blk("object_id") != cx.slab("object_id")) & mask & \
-                   (dist < d0)
+                   (cx.blk("object_id") != sobj) & mask & (dist < d0)
         pen = cx.where(touching, d0 - dist, 0.0)
         inv_dist = 1.0 / jnp.maximum(dist, 1e-9)
-        out = {"w": cx.sum(pen, touching),
-               "objb": cx.sum(pen * cx.slab("object_id"), touching)}
-        for d in range(dim):
-            out[f"n{d}"] = cx.sum(pen * R[d] * inv_dist, touching)
+        sels = [touching & (sobj == float(oid)) for oid in chans]
+        sels.append(touching & (cx.slab("static_body") > 0.0))
+        out = {}
+        for tag, sel in zip(tags, sels):
+            out[f"cw_{tag}"] = cx.sum(pen, sel)
+            for d in range(dim):
+                out[f"cn_{tag}{d}"] = cx.sum(pen * R[d] * inv_dist, sel)
         return out
 
     oid = p.object_id.astype(jnp.float32)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    static_body = ((rigid.obj_material[obj] == MATERIAL_RIGID) &
+                   (rigid.is_dynamic[obj] == 0) &
+                   (p.object_id >= 0)).astype(jnp.float32)
     return pair_exec.run(
         kern, env,
-        {"material": p.material, "object_id": oid},
+        {"material": p.material, "object_id": oid, "static_body": static_body},
         {"pos": p.pos, "material": p.material, "object_id": oid}, params)
 
 
@@ -128,36 +157,44 @@ def resolve_body_contacts(
     p: ParticleState, rigid: RigidState, vel: jnp.ndarray,
     omega: jnp.ndarray, contact: dict, params: SimParams,
 ):
-    """Body-pair impulse contact (restitution 0 by default, like Bullet's),
-    replacing the reference's `p.stepSimulation()` contact resolution
-    (bullet_solver.py:158).
+    """Body-pair impulse contact with Coulomb friction (restitution 0 by
+    default, like Bullet's), replacing the reference's `p.stepSimulation()`
+    contact resolution (bullet_solver.py:158).
 
-    Particle contact records are reduced per ordered body pair (a, b); each
-    pair gets one normal impulse against the relative velocity at the
-    weighted contact point (unit inertia, matching the reference's URDFs) and
-    a mass-split positional de-penetration. Ordered pairs appear twice
-    ((a, b) and (b, a)), so impulses apply at half strength. One Jacobi
-    iteration — stacks settle over steps, singles resolve exactly.
+    Per-particle per-channel records from :func:`rigid_contact_data` are
+    reduced by the particle's own EXACT body id into an (O, C) ordered-pair
+    table — row a = body owning the particles, column c = the touched
+    dynamic body (or the merged static channel) — so simultaneous multi-body
+    pileups keep separate impulses. Each active pair gets
+    ``params.contact_iters`` sequential-impulse sweeps at its weighted
+    contact point (unit inertia, matching the reference's URDFs): a normal
+    impulse against closing velocity plus Coulomb friction clamped by
+    mu * (accumulated normal impulse), and one mass-split positional
+    de-penetration. Dynamic-dynamic contacts appear twice ((a,b) and (b,a)),
+    so impulses apply at half strength; dynamic-static contacts also appear
+    twice (once from each side's particles, the static side inert).
     """
     O = params.max_objects
     dim = params.dim
+    tags = _chan_tags(params)
+    C = len(tags)
     obj = jnp.clip(p.object_id, 0, O - 1)
-    w = contact["w"]
-    has = w > 1e-12
-    # neighbor body id: exact when a particle touches one other body (the
-    # overwhelmingly common case); rounding keeps mixed records in range
-    objb = jnp.clip(jnp.round(contact["objb"] /
-                              jnp.maximum(w, 1e-12)).astype(jnp.int32), 0, O - 1)
-    key = jnp.where(has, obj * O + objb, O * O)
 
     def seg(x):
-        return jax.ops.segment_sum(jnp.where(has, x, 0.0), key,
-                                   num_segments=O * O + 1)[:O * O]
+        return jax.ops.segment_sum(x, obj, num_segments=O)
 
-    W = seg(w)                                             # (O*O,)
-    N = jnp.stack([seg(contact["n"][:, d]) for d in range(dim)], -1)
-    Pt = jnp.stack([seg(w * p.pos[:, d]) for d in range(dim)], -1)
-    cnt = seg(has.astype(jnp.float32))
+    W_cols, N_cols, Pt_cols, cnt_cols = [], [], [], []
+    for tag in tags:
+        w_c = contact[f"cw_{tag}"]                          # (N,)
+        n_c = contact[f"cn_{tag}"]                          # (N, dim)
+        W_cols.append(seg(w_c))
+        N_cols.append(seg(n_c))
+        Pt_cols.append(seg(w_c[:, None] * p.pos))
+        cnt_cols.append(seg((w_c > 1e-12).astype(jnp.float32)))
+    W = jnp.stack(W_cols, -1).reshape(O * C)                # (O*C,)
+    N = jnp.stack(N_cols, 1).reshape(O * C, dim)
+    Pt = jnp.stack(Pt_cols, 1).reshape(O * C, dim)
+    cnt = jnp.stack(cnt_cols, -1).reshape(O * C)
     if params.spmd_axis:
         W, N, Pt, cnt = (jax.lax.psum(x, params.spmd_axis)
                          for x in (W, N, Pt, cnt))
@@ -169,8 +206,13 @@ def resolve_body_contacts(
     point = Pt / Ws[:, None]
     pen = Ws / jnp.maximum(cnt, 1.0)                        # mean penetration
 
-    ia = jnp.arange(O * O, dtype=jnp.int32) // O
-    ib = jnp.arange(O * O, dtype=jnp.int32) % O
+    ia = jnp.arange(O * C, dtype=jnp.int32) // C
+    # column -> touched body id; the static channel maps to a sentinel slot
+    # whose inverse mass/inertia are forced to zero below
+    chan_ids = list(params.contact_channels) + [0]
+    ib = jnp.tile(jnp.asarray(chan_ids, jnp.int32), O)
+    b_static = jnp.tile(jnp.asarray(
+        [False] * len(params.contact_channels) + [True]), O)
 
     def body_dyn(i):
         return (rigid.is_dynamic[i] > 0) & (rigid.present[i] > 0) & \
@@ -178,53 +220,78 @@ def resolve_body_contacts(
 
     inv_ma = jnp.where(body_dyn(ia) & (rigid.mass[ia] > 0),
                        1.0 / jnp.maximum(rigid.mass[ia], 1e-12), 0.0)
-    inv_mb = jnp.where(body_dyn(ib) & (rigid.mass[ib] > 0),
+    inv_mb = jnp.where(body_dyn(ib) & (rigid.mass[ib] > 0) & ~b_static,
                        1.0 / jnp.maximum(rigid.mass[ib], 1e-12), 0.0)
     inv_Ia = jnp.where(body_dyn(ia), 1.0, 0.0)              # unit inertia
-    inv_Ib = jnp.where(body_dyn(ib), 1.0, 0.0)
+    inv_Ib = jnp.where(body_dyn(ib) & ~b_static, 1.0, 0.0)
+    # drop self-pairs (a body's own particles never record against itself,
+    # but a dynamic channel exists for every row) and static-static rows
+    active = active & ~((ia == ib) & ~b_static)
 
     from ..solvers.common import pair_cross
     r_a = point - rigid.com[ia]
     r_b = point - rigid.com[ib]
-    if dim == 3:
-        va = vel[ia] + jnp.cross(omega[ia], r_a)
-        vb = vel[ib] + jnp.cross(omega[ib], r_b)
-    else:
-        wa, wb = omega[ia][:, 0], omega[ib][:, 0]
-        va = vel[ia] + jnp.stack([-wa * r_a[:, 1], wa * r_a[:, 0]], -1)
-        vb = vel[ib] + jnp.stack([-wb * r_b[:, 1], wb * r_b[:, 0]], -1)
-    vn = jnp.sum((va - vb) * n_hat, axis=-1)                # <0 = closing
-
     ra_x_n = pair_cross(r_a, n_hat, dim)
     rb_x_n = pair_cross(r_b, n_hat, dim)
     K = inv_ma + inv_mb + \
         jnp.sum(ra_x_n * ra_x_n, -1) * inv_Ia + \
         jnp.sum(rb_x_n * rb_x_n, -1) * inv_Ib
+    ok = active & (K > 1e-12)
     e = params.contact_restitution
-    j = jnp.where(active & (vn < 0.0) & (K > 1e-12),
-                  -(1.0 + e) * vn / jnp.maximum(K, 1e-12), 0.0)
-    j = 0.5 * j                                             # ordered-pair dup
+    mu = params.contact_friction
+
+    def to_bodies(idx, vals, mask):
+        vals = jnp.where(mask[:, None], vals, 0.0)
+        return jnp.stack([
+            jax.ops.segment_sum(vals[:, d], idx, num_segments=O)
+            for d in range(vals.shape[1])], -1)
+
+    def point_vel(v, om, idx, r):
+        if dim == 3:
+            return v[idx] + jnp.cross(om[idx], r)
+        w_ = om[idx][:, 0]
+        return v[idx] + jnp.stack([-w_ * r[:, 1], w_ * r[:, 0]], -1)
+
+    jn_acc = jnp.zeros(O * C)
+    for _ in range(max(params.contact_iters, 1)):
+        va = point_vel(vel, omega, ia, r_a)
+        vb = jnp.where(b_static[:, None], 0.0,
+                       point_vel(vel, omega, ib, r_b))
+        vrel = va - vb
+        vn = jnp.sum(vrel * n_hat, axis=-1)                 # <0 = closing
+        j = jnp.where(ok & (vn < 0.0),
+                      -(1.0 + e) * vn / jnp.maximum(K, 1e-12), 0.0)
+        j = 0.5 * j                                         # ordered-pair dup
+        jn_acc = jn_acc + j
+
+        # Coulomb friction against the tangential point velocity, clamped by
+        # mu * accumulated normal impulse (so resting stacks keep traction)
+        vt = vrel - vn[:, None] * n_hat
+        vt_len = jnp.linalg.norm(vt, axis=-1)
+        t_hat = vt / jnp.maximum(vt_len, 1e-9)[:, None]
+        ra_x_t = pair_cross(r_a, t_hat, dim)
+        rb_x_t = pair_cross(r_b, t_hat, dim)
+        Kt = inv_ma + inv_mb + \
+            jnp.sum(ra_x_t * ra_x_t, -1) * inv_Ia + \
+            jnp.sum(rb_x_t * rb_x_t, -1) * inv_Ib
+        jt = jnp.where(ok & (Kt > 1e-12),
+                       0.5 * vt_len / jnp.maximum(Kt, 1e-12), 0.0)
+        jt = jnp.minimum(jt, mu * jn_acc)
+
+        imp = j[:, None] * n_hat - jt[:, None] * t_hat
+        dwa = (inv_Ia[:, None]) * (pair_cross(r_a, imp, dim))
+        dwb = (-inv_Ib[:, None]) * (pair_cross(r_b, imp, dim))
+        vel = vel + to_bodies(ia, imp * inv_ma[:, None], ok) \
+                  + to_bodies(ib, -imp * inv_mb[:, None], ok)
+        omega = omega + to_bodies(ia, dwa, ok) + to_bodies(ib, dwb, ok)
 
     # positional de-penetration, mass-split, half per ordered pair
     inv_sum = jnp.maximum(inv_ma + inv_mb, 1e-12)
-    push = jnp.where(active, 0.5 * 0.5 * pen, 0.0)          # relax 0.5
-
-    def to_bodies(idx, vals):
-        return jnp.stack([
-            jax.ops.segment_sum(vals[:, d], idx, num_segments=O + 1)[:O]
-            for d in range(vals.shape[1])], -1)
-
-    dva = j[:, None] * n_hat * inv_ma[:, None]
-    dvb = -j[:, None] * n_hat * inv_mb[:, None]
-    dwa = (j * inv_Ia)[:, None] * ra_x_n
-    dwb = (-j * inv_Ib)[:, None] * rb_x_n
+    push = jnp.where(ok, 0.5 * 0.5 * pen, 0.0)              # relax 0.5
     dca = (push * inv_ma / inv_sum)[:, None] * n_hat
     dcb = -(push * inv_mb / inv_sum)[:, None] * n_hat
-
-    d_vel = to_bodies(ia, dva) + to_bodies(ib, dvb)
-    d_om = to_bodies(ia, dwa) + to_bodies(ib, dwb)
-    d_com = to_bodies(ia, dca) + to_bodies(ib, dcb)
-    return vel + d_vel, omega + d_om, d_com
+    d_com = to_bodies(ia, dca, ok) + to_bodies(ib, dcb, ok)
+    return vel, omega, d_com
 
 
 def rigid_body_step(

@@ -232,6 +232,12 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         kw["has_rigid"] = True
     kw["has_entries"] = any(c["entry"] > 0 for c in chunks) or \
         cfg.get_cfg("gravitationUpper") is not None
+    # every dynamic rigid body gets its own exact contact channel (see
+    # rigid_contact_data); static geometry shares one merged channel
+    if "contact_channels" not in param_overrides:
+        kw["contact_channels"] = tuple(sorted(
+            c["obj_id"] for c in chunks
+            if c["material"] == MATERIAL_RIGID and c["dynamic"]))
     # Deferred entries shuffle pad-gap slots on their activation step; the
     # sort kernel can only repair K_FIX scattered out-of-span slots exactly
     # (ops/permute.py), and slots beyond that budget are ZEROED (particles
@@ -240,6 +246,16 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     from .ops.permute import K_FIX
     if any(c["entry"] > 0 and c["pos"].shape[0] > K_FIX for c in chunks):
         kw["sort_kernel"] = False
+    if "halo_plane_max" not in param_overrides:
+        # max particles in one x-cell-plane of the seeded scene: the spatial
+        # halo (parallel/spatial.halo_width) must cover one neighbor plane
+        dh_eff = kw.get("support_radius", dx * (4.0 if dim == 3 else 3.0))
+        xs = np.concatenate([c["pos"][:, 0] for c in chunks])
+        planes = np.floor(
+            (xs.astype(np.float64) - kw["domain_start"][0]) / dh_eff
+        ).astype(np.int64)
+        kw["halo_plane_max"] = int(np.bincount(
+            planes - planes.min()).max()) if planes.size else 0
     params = make_params(n_particles, **kw)
 
     if "pair_slab" not in param_overrides:

@@ -208,7 +208,10 @@ class Plumbing:
                 from .rigid import shape_matching as smlib
                 p, rigid = smlib.shape_matching_step(p, rigid, params)
             else:
-                contact = rigidlib.rigid_contact_data(p, env, params)
+                # contact impulses require a dynamic body; without one the
+                # pair pass could only produce inert static-static records
+                contact = (rigidlib.rigid_contact_data(p, rigid, env, params)
+                           if params.contact_channels else None)
                 rigid = rigidlib.rigid_body_step(p, rigid, params,
                                                  contact=contact)
 

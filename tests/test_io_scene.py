@@ -97,9 +97,10 @@ def test_scene_explicit_zero_viscosity(tmp_path):
 SCENES_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "scenes")
 
 
-# the one scene whose host build takes >30s on one CPU core (2.25M lattice,
-# 97% domain-box walls); every other shipped scene instantiates in <10s
-_HEAVY_SCENES = {"buckling_emitter.json"}
+# scenes whose host build takes >30s on one CPU core (2.25M lattice with 97%
+# domain-box walls; 771k fluid + 9 mesh voxelizations); every other shipped
+# scene instantiates in <10s
+_HEAVY_SCENES = {"buckling_emitter.json", "coupling_nine_rigid.json"}
 
 # golden per-scene fluid counts anchoring parity with the reference's demo
 # arithmetic (derived from /root/reference/data/scenes/*.json block dims at

@@ -170,6 +170,105 @@ def test_two_box_collision_conserves_momentum(cube_obj):
     np.testing.assert_allclose(p1, p0, atol=0.08 * np.linalg.norm(p0) + 1e-8)
 
 
+def test_three_body_squeeze_momentum(cube_obj):
+    """Simultaneous multi-body contact: two outer boxes close on a middle box
+    at once, so middle-box particles touch body 0 AND body 2 in the same step
+    — exactly the case the round-2 weighted-mean body id aliased to body 1
+    (the middle box itself). With exact per-body channels
+    (rigid/integrator.py rigid_contact_data) momentum is conserved and the
+    middle box stays put by symmetry."""
+    cfg = SimConfig(config={
+        "Configuration": base_cfg(dt=1e-3, gravity=(0, 0, 0)),
+        "RigidBodies": [
+            rigid_body(0, cube_obj, (0.17, 0.3, 0.3), vel=(0.8, 0, 0)),
+            rigid_body(1, cube_obj, (0.30, 0.3, 0.3)),
+            rigid_body(2, cube_obj, (0.43, 0.3, 0.3), vel=(-0.8, 0, 0)),
+        ]})
+    scene, state = load_scene(config=cfg)
+    assert scene.params.contact_channels == (0, 1, 2)
+    sim = simlib.Simulation(scene, state)
+    rigid = sim.state.rigid
+    m = np.asarray(rigid.mass[:3])
+    p0 = (m[:, None] * np.asarray(rigid.vel[:3])).sum(axis=0)   # ~0 by symmetry
+    for _ in range(60):      # gaps are 0.03 m at 0.8 m/s: impact ~step 38
+        sim.step()
+    rigid = sim.state.rigid
+    v = np.asarray(rigid.vel[:3])
+    com = np.asarray(rigid.com[:3])
+    assert np.isfinite(v).all() and np.isfinite(com).all()
+    p1 = (m[:, None] * v).sum(axis=0)
+    scale = float(np.abs(m[:, None] * v).sum()) + float(np.abs(m).sum()) * 0.8
+    np.testing.assert_allclose(p1, p0, atol=0.05 * scale)
+    # the middle box was hit from both sides at once: it must not have been
+    # launched (the aliasing bug sent both impulses into it)
+    assert abs(v[1, 0]) < 0.25, f"middle box launched: {v[1]}"
+    assert abs(com[1, 0] - 0.30) < 0.02, f"middle box displaced: {com[1]}"
+    # the outer boxes must actually have collided (not passed through)
+    assert v[0, 0] < 0.5 and v[2, 0] > -0.5
+    assert com[0, 0] < com[1, 0] < com[2, 0]
+
+
+@pytest.mark.slow
+def test_three_box_stack_settles(cube_obj):
+    """A 3-box tower dropped under gravity settles into a stack: distinct
+    resting heights, low velocities, no interpenetration blow-up — the
+    final_scene1 pileup class (9 rigids on the floor) at test scale."""
+    cfg = SimConfig(config={
+        "Configuration": base_cfg(dt=2e-3),
+        "RigidBodies": [
+            rigid_body(0, cube_obj, (0.3, 0.12, 0.3), density=800.0),
+            rigid_body(1, cube_obj, (0.3, 0.24, 0.3), density=800.0),
+            rigid_body(2, cube_obj, (0.3, 0.36, 0.3), density=800.0),
+        ]})
+    scene, state = load_scene(config=cfg)
+    sim = simlib.Simulation(scene, state)
+    for _ in range(250):
+        sim.step()
+    rigid = sim.state.rigid
+    com = np.asarray(rigid.com[:3])
+    v = np.asarray(rigid.vel[:3])
+    assert np.isfinite(com).all() and np.isfinite(v).all()
+    assert (np.linalg.norm(v, axis=1) < 0.12).all(), f"stack still moving: {v}"
+    ys = com[:, 1]
+    assert ys[0] < ys[1] < ys[2], f"stack order lost: {ys}"
+    d = scene.params.particle_diameter
+    gaps = np.diff(ys)
+    # each gap ~ cube size (0.1); tolerate contact penetration / separation
+    assert (gaps > 0.1 - 3 * d).all() and (gaps < 0.1 + 3 * d).all(), gaps
+
+
+@pytest.mark.slow
+def test_rigid_rigid_friction_decelerates_slider(cube_obj):
+    """Coulomb contact friction (rigid/integrator.py resolve_body_contacts):
+    a cube sliding across a STATIC platform body (not the wall clamp)
+    decelerates; with mu=0 it keeps most of its speed."""
+    def run(mu):
+        platform = rigid_body(0, cube_obj, (0.3, 0.1, 0.3), dynamic=False)
+        platform["scale"] = [4.0, 0.5, 2.0]
+        cfg = SimConfig(config={
+            "Configuration": base_cfg(dt=1e-3),
+            "RigidBodies": [
+                platform,
+                rigid_body(1, cube_obj, (0.12, 0.178, 0.3), vel=(0.7, 0, 0)),
+            ]})
+        scene, state = load_scene(
+            config=cfg, contact_friction=mu, wall_friction=0.0)
+        sim = simlib.Simulation(scene, state)
+        # landing at ~step 65; stop at 120 — before the slider can coast off
+        # the platform edge and hit the domain-wall clamp
+        for _ in range(120):
+            sim.step()
+        return float(np.asarray(sim.state.rigid.vel[1, 0]))
+
+    v_mu = run(0.5)
+    v_free = run(0.0)
+    assert np.isfinite(v_mu) and np.isfinite(v_free)
+    # the landing impact itself costs some vx (single aggregated contact
+    # normal tilts against motion); steady sliding afterwards is lossless
+    assert v_free > 0.2, f"frictionless slider lost speed anyway: {v_free}"
+    assert v_mu < 0.25 * v_free, f"friction ineffective: {v_mu} vs {v_free}"
+
+
 @pytest.mark.slow
 def test_coupling_scene_runs_bounded(cube_obj):
     """1 fluid block + 2 dynamic rigids under DFSPH stays finite and inside

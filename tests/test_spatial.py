@@ -39,20 +39,15 @@ def sorted_fluid_pos(state):
     return r[np.lexsort(r.T)]
 
 
-@pytest.mark.parametrize("method", [
-    # wcsph exercises nothing dfsph's two-segment path doesn't; slow tier
-    pytest.param("wcsph", marks=pytest.mark.slow), "dfsph"])
-def test_spatial_matches_single_device(method):
-    steps = 3
-    cfg = dam_cfg(method)
-
-    scene, state = load_scene(config=cfg, pair_block=64, pair_chunk=32)
+def run_both(cfg, steps=3, **overrides):
+    """Run `steps` on one device and on the 8-device mesh; return
+    (single diag, spatial diag, single state, spatial state)."""
+    scene, state = load_scene(config=cfg, **overrides)
     sim = simlib.Simulation(scene, state)
     for _ in range(steps):
         diag1 = sim.step()
-    r1 = sorted_fluid_pos(sim.state)
 
-    scene2, state2 = load_scene(config=cfg, pair_block=64, pair_chunk=32)
+    scene2, state2 = load_scene(config=cfg, **overrides)
     mesh = spatial.make_mesh(8)
     state2 = jax.jit(lambda s: simlib.prepare(s, scene2.params))(state2)
     state2 = state2.replace(cached_neighbors=None)
@@ -60,10 +55,93 @@ def test_spatial_matches_single_device(method):
     step = spatial.spatial_step_fn(scene2.params, mesh, state2)
     for _ in range(steps):
         state2, diag2 = step(state2)
-    r2 = sorted_fluid_pos(state2)
+    return diag1, diag2, sim.state, state2
 
+
+@pytest.mark.parametrize("method", [
+    # wcsph exercises nothing dfsph's two-segment path doesn't; slow tier
+    pytest.param("wcsph", marks=pytest.mark.slow), "dfsph"])
+def test_spatial_matches_single_device(method):
+    diag1, diag2, s1, s2 = run_both(dam_cfg(method),
+                                    pair_block=64, pair_chunk=32)
+    r1, r2 = sorted_fluid_pos(s1), sorted_fluid_pos(s2)
     assert r1.shape == r2.shape
     np.testing.assert_array_equal(r1, r2)
     assert float(diag2["neighbor_overflow"]) == 0
     if method == "dfsph":
         assert int(diag1["div_iters"]) == int(diag2["div_iters"])
+
+
+def test_spatial_rigid_coupling_matches(tmp_path):
+    """Rigid bodies under spatial decomposition: the psum'd Akinci wrenches,
+    contact tables, and body extents (rigid/integrator.py) must make the
+    replicated rigid state advance identically on every device — fluid AND
+    rigid trajectories match the single-device run bit for bit."""
+    from test_rigid import write_cube_obj
+    cube = write_cube_obj(str(tmp_path / "cube.obj"), size=0.08)
+    cfg = SimConfig(config={
+        "Configuration": {
+            "domainStart": [0, 0, 0], "domainEnd": [0.6, 0.5, 0.5],
+            "addDomainBox": False, "particleRadius": 0.01, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "simulationMethod": "dfsph",
+            "viscosityMethod": "standard", "timeStepSize": 5e-4,
+            "viscosity": 0.05},
+        "RigidBodies": [
+            {"objectId": 1, "geometryFile": cube,
+             "translation": [0.3, 0.16, 0.25], "rotationAxis": [0, 1, 0],
+             "rotationAngle": 0.0, "scale": [1, 1, 1],
+             "velocity": [0, -0.2, 0], "density": 400.0,
+             "color": [255, 255, 255], "isDynamic": True, "entryTime": -1.0}],
+        "FluidBlocks": [{"objectId": 0, "start": [0.05, 0.045, 0.05],
+                         "end": [0.5, 0.12, 0.4], "translation": [0, 0, 0],
+                         "scale": [1, 1, 1], "velocity": [0, 0, 0],
+                         "density": 1000.0, "color": [50, 100, 200],
+                         "entryTime": -1.0}]})
+    diag1, diag2, s1, s2 = run_both(cfg, steps=3,
+                                    pair_block=64, pair_chunk=32)
+    np.testing.assert_array_equal(sorted_fluid_pos(s1), sorted_fluid_pos(s2))
+    np.testing.assert_array_equal(np.asarray(s1.rigid.com),
+                                  np.asarray(s2.rigid.com))
+    # the wrench reduction order differs (per-device partials + tree psum vs
+    # one segment_sum), so velocities match to f32 ulp, not bit-for-bit
+    np.testing.assert_allclose(np.asarray(s1.rigid.vel),
+                               np.asarray(s2.rigid.vel), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1.rigid.omega),
+                               np.asarray(s2.rigid.omega), atol=1e-6)
+    assert float(diag2["neighbor_overflow"]) == 0
+
+
+@pytest.mark.slow
+def test_spatial_deferred_entry_matches():
+    """entryTime-gated objects activate mid-run inside shard_map (the
+    activation flips materials, which changes the sort and the active sets
+    device-locally); trajectories must still match bit for bit."""
+    cfg = dam_cfg("wcsph")
+    cfg.config["FluidBlocks"].append({
+        "objectId": 1, "start": [0.1, 0.3, 0.1], "end": [0.2, 0.4, 0.2],
+        "translation": [0, 0, 0], "scale": [1, 1, 1],
+        "velocity": [0, -0.5, 0], "density": 1000.0,
+        "color": [200, 50, 50], "entryTime": 0.001})   # enters at step 3
+    diag1, diag2, s1, s2 = run_both(cfg, steps=5,
+                                    pair_block=64, pair_chunk=32)
+    r1, r2 = sorted_fluid_pos(s1), sorted_fluid_pos(s2)
+    assert r1.shape == r2.shape          # both runs activated the block
+    np.testing.assert_array_equal(r1, r2)
+    assert float(diag2["neighbor_overflow"]) == 0
+
+
+@pytest.mark.slow
+def test_spatial_implicit_viscosity_matches():
+    """Matrix-free CG viscosity inside shard_map: the CG dot products cross
+    shards as psums (solvers/viscosity_cg.py); iteration counts and the
+    resulting trajectory must match the single-device run."""
+    cfg = dam_cfg("dfsph")
+    cfg.config["Configuration"]["viscosityMethod"] = "implicit"
+    cfg.config["Configuration"]["viscosity"] = 50.0
+    cfg.config["Configuration"]["viscosity_b"] = 10.0
+    diag1, diag2, s1, s2 = run_both(cfg, steps=3,
+                                    pair_block=64, pair_chunk=32)
+    np.testing.assert_array_equal(sorted_fluid_pos(s1), sorted_fluid_pos(s2))
+    assert float(diag2["neighbor_overflow"]) == 0
+    if "cg_iters" in diag1:
+        assert int(diag1["cg_iters"]) == int(diag2["cg_iters"])

@@ -46,7 +46,7 @@ def main():
     from sph_project_tpu.solvers import common, dfsph
     from sph_project_tpu.ops.pairs import slab_pack
 
-    scene, state = bench.build(args.n)
+    scene, state = bench.build_synthetic(args.n)
     params = scene.params
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
     step = jax.jit(simlib.get_step_fn(params))
