@@ -51,11 +51,15 @@ from .pair_exec import Cx, _collect, _split
 
 # static engine geometry
 B = 64         # sub-block: particles per compute tile (sublane-aligned)
+HB = 32        # half-block: row/z hulls and compute tiles are per HALF
+               # sub-block — a sub-block straddling a y-row boundary would
+               # otherwise scan the union row set (4-5 z-rows) with all 64
+               # particles; per-half hulls cut each half back to ~3 rows
 WT = 128       # window tile width (lanes)
 DT = 512       # DMA tile width
 ALIGN = 128    # union window start alignment
 Q_CAP = 8      # own-plane clusters per superblock (sparse-scene cap)
-R_CAP = 8      # row slots per sub-block (y-hull width cap; last slot merges
+R_CAP = 8      # row slots per half-block (y-hull width cap; last slot merges
                # any remaining rows into one contiguous range, so deep
                # y-hulls degrade to fatter scanning, never lost physics)
 
@@ -63,8 +67,8 @@ R_CAP = 8      # row slots per sub-block (y-hull width cap; last slot merges
 OFF_USTART = 0           # Q_CAP*3 entries: per-(cluster, dp) union start
 OFF_UTILES = 24          # Q_CAP*3 entries: per-(cluster, dp) DMA tile count
 OFF_DST = 48             # Q_CAP*3 entries: per-slot VMEM lane offset
-OFF_RCNT = 72            # G entries: row-slot count per sub-block
-OFF_QIDX = 80            # G entries: sub-block cluster index
+OFF_RCNT = 72            # G*2 entries: row-slot count per half-block
+OFF_QIDX = 88            # G entries: sub-block cluster index
 
 
 class DmaPairEnv(struct.PyTreeNode):
@@ -139,36 +143,49 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     live = (cells_sorted < ncells) & (cells_sorted >= 0)
     produces = live if needs_output is None else (live & needs_output)
 
-    # per-sub-block hulls over producing rows; the plane-padded sort
-    # guarantees each live sub-block occupies a single x-plane
+    # per-HALF-block hulls over producing rows (compute windows are per
+    # half; DMA cluster unions below use the per-sub-block union of halves);
+    # the plane-padded sort guarantees each live sub-block occupies a
+    # single x-plane
     gi = jnp.asarray(g, jnp.int32)
     big = jnp.int32(1 << 29)
-    cmin = jnp.min(jnp.where(produces[:, None], coords, big).reshape(
-        NSb, B, dim), axis=1)
-    cmax = jnp.max(jnp.where(produces[:, None], coords, -big).reshape(
-        NSb, B, dim), axis=1)
-    empty = ~jnp.any(produces.reshape(NSb, B), axis=1)
+    NSh = n // HB
+    hmin = jnp.min(jnp.where(produces[:, None], coords, big).reshape(
+        NSh, HB, dim), axis=1)                                    # (NSh, dim)
+    hmax = jnp.max(jnp.where(produces[:, None], coords, -big).reshape(
+        NSh, HB, dim), axis=1)
+    empty_h = ~jnp.any(produces.reshape(NSh, HB), axis=1)         # (NSh,)
+    cmin = jnp.min(hmin.reshape(NSb, 2, dim), axis=1)             # (NSb, dim)
+    cmax = jnp.max(hmax.reshape(NSb, 2, dim), axis=1)
+    empty = empty_h.reshape(NSb, 2).all(axis=1)
     own = jnp.where(empty, 0, jnp.clip(cmin[:, 0], 0, g[0] - 1))  # (NSb,)
     multi_plane = (~empty) & (cmax[:, 0] != cmin[:, 0])
 
     if dim == 3:
         def flat(x, y, z):
             return (x * g[1] + y) * g[2] + z
-        ylo = jnp.maximum(cmin[:, 1] - 1, 0)
-        yhi = jnp.minimum(cmax[:, 1] + 1, gi[1] - 1)
-        zlo = jnp.maximum(cmin[:, 2] - 1, 0)
-        zhi = jnp.minimum(cmax[:, 2] + 1, gi[2] - 1)
+
+        def hulls(lo, hi):
+            return (jnp.maximum(lo[:, 1] - 1, 0),
+                    jnp.minimum(hi[:, 1] + 1, gi[1] - 1),
+                    jnp.maximum(lo[:, 2] - 1, 0),
+                    jnp.minimum(hi[:, 2] + 1, gi[2] - 1))
     else:
         def flat(x, y, z):
             return x * g[1] + z
-        # 2D: the window run axis is y; a single (merged) row slot
-        ylo = jnp.zeros((NSb,), jnp.int32)
-        yhi = jnp.zeros((NSb,), jnp.int32)
-        zlo = jnp.maximum(cmin[:, 1] - 1, 0)
-        zhi = jnp.minimum(cmax[:, 1] + 1, gi[1] - 1)
 
-    rcnt_true = yhi - ylo + 1
-    rcnt = jnp.where(empty, 0, jnp.minimum(rcnt_true, R_CAP))
+        # 2D: the window run axis is y; a single (merged) row slot
+        def hulls(lo, hi):
+            nsx = lo.shape[0]
+            return (jnp.zeros((nsx,), jnp.int32),
+                    jnp.zeros((nsx,), jnp.int32),
+                    jnp.maximum(lo[:, 1] - 1, 0),
+                    jnp.minimum(hi[:, 1] + 1, gi[1] - 1))
+
+    ylo, yhi, zlo, zhi = hulls(cmin, cmax)                # (NSb,) DMA unions
+    ylo_h, yhi_h, zlo_h, zhi_h = hulls(hmin, hmax)        # (NSh,) compute
+    rcnt_h = jnp.where(empty_h, 0,
+                       jnp.minimum(yhi_h - ylo_h + 1, R_CAP))     # (NSh,)
 
     # ---- superblock own-plane clusters ------------------------------------
     # sub-blocks of a superblock sharing an own plane form a CONTIGUOUS run
@@ -222,29 +239,30 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     dst = jnp.minimum(dst, SU - DT).astype(jnp.int32)
     u_cover = (u_start.reshape(NSB, Q_CAP * 3) + u_tiles * DT)
 
-    # ---- per-(sub-block, +-1 plane, row) windows (compute side) -----------
+    # ---- per-(half-block, +-1 plane, row) windows (compute side) ----------
+    own_h = jnp.repeat(own, 2)                                    # (NSh,)
+    q_half = jnp.repeat(q_idx.reshape(NSb), 2)                    # (NSh,)
     dp = jnp.arange(3, dtype=jnp.int32)[None, :, None] - 1        # (1,3,1)
     r3 = jnp.arange(R_CAP, dtype=jnp.int32)[None, None, :]        # (1,1,R)
-    pg = own[:, None, None] + dp                                  # (NSb,3,R)
-    rg = jnp.minimum(ylo[:, None, None] + r3, yhi[:, None, None])
+    pg = own_h[:, None, None] + dp                                # (NSh,3,R)
+    rg = jnp.minimum(ylo_h[:, None, None] + r3, yhi_h[:, None, None])
     # last row slot merges the remaining rows into one contiguous range
-    is_last = r3 == (rcnt[:, None, None] - 1)
-    rg_hi = jnp.where(is_last, yhi[:, None, None], rg)
-    q_flat = q_idx.reshape(NSb)
-    valid = (~empty[:, None, None]) & (pg >= 0) & (pg < gi[0]) & \
-        (r3 < rcnt[:, None, None]) & (q_flat[:, None, None] < Q_CAP)
-    w_lo = flat(pg, rg, zlo[:, None, None])
-    w_hi = flat(pg, rg_hi, zhi[:, None, None])
+    is_last = r3 == (rcnt_h[:, None, None] - 1)
+    rg_hi = jnp.where(is_last, yhi_h[:, None, None], rg)
+    valid = (~empty_h[:, None, None]) & (pg >= 0) & (pg < gi[0]) & \
+        (r3 < rcnt_h[:, None, None]) & (q_half[:, None, None] < Q_CAP)
+    w_lo = flat(pg, rg, zlo_h[:, None, None])
+    w_hi = flat(pg, rg_hi, zhi_h[:, None, None])
     st = jnp.where(valid, t_start[jnp.clip(w_lo, 0, ncells)], n)
     st = jnp.minimum(st, n)
     en = jnp.where(valid, t_end[jnp.clip(w_hi, 0, ncells)], 0)
 
     # SU truncation accounting (loud, never silent)
-    sb_of = jnp.repeat(jnp.arange(NSB, dtype=jnp.int32), G)
-    slot_g = (q_idx_c.reshape(NSb)[:, None] * 3 +
-              jnp.arange(3, dtype=jnp.int32)[None, :])            # (NSb, 3)
+    sb_of = jnp.repeat(jnp.arange(NSB, dtype=jnp.int32), G * 2)
+    slot_g = (jnp.clip(q_half, 0, Q_CAP - 1)[:, None] * 3 +
+              jnp.arange(3, dtype=jnp.int32)[None, :])            # (NSh, 3)
     cover = jnp.take_along_axis(u_cover[sb_of], slot_g,
-                                axis=1)[:, :, None]               # (NSb,3,1)
+                                axis=1)[:, :, None]               # (NSh,3,1)
     trunc = jnp.sum(jnp.where(valid, jnp.maximum(en - cover, 0), 0))
     overflow = (trunc + lost_q + jnp.sum(multi_plane)).astype(jnp.int32)
 
@@ -255,10 +273,11 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     meta = meta.at[:NSB, OFF_UTILES:OFF_UTILES + Q_CAP * 3].set(
         u_tiles.reshape(NSB, Q_CAP * 3))
     meta = meta.at[:NSB, OFF_DST:OFF_DST + Q_CAP * 3].set(dst)
-    meta = meta.at[:NSB, OFF_RCNT:OFF_RCNT + G].set(rcnt.reshape(NSB, G))
+    meta = meta.at[:NSB, OFF_RCNT:OFF_RCNT + G * 2].set(
+        rcnt_h.reshape(NSB, G * 2))
     meta = meta.at[:NSB, OFF_QIDX:OFF_QIDX + G].set(q_idx_c)
 
-    wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 3 * R_CAP * 2)
+    wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 2 * 3 * R_CAP * 2)
     wtab = jnp.pad(wtab, ((0, nsb_pad - NSB), (0, 0)))
     return DmaPairEnv(meta_pack=meta, wtab=wtab, overflow=overflow,
                       n=n, su=SU, group=G)
@@ -432,9 +451,9 @@ def _probe_shapes(kern, window_names, center_names, params):
     def probe(b_, s_):
         z = jnp.zeros
         cx = CxDma(b_, s_, z((1, 1, WT), jnp.int32), jnp.int32(0),
-                   jnp.int32(0), z((1, B, 1), jnp.int32), params)
+                   jnp.int32(0), z((1, HB, 1), jnp.int32), params)
         return kern(cx)
-    bs = {k: jax.ShapeDtypeStruct((1, B, 1), jnp.float32)
+    bs = {k: jax.ShapeDtypeStruct((1, HB, 1), jnp.float32)
           for k in center_names}
     ss = {k: jax.ShapeDtypeStruct((1, WT), jnp.float32) for k in window_names}
     return jax.eval_shape(probe, bs, ss)
@@ -484,59 +503,70 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
 
     # static sub-block loop: B = 64 center offsets are not 128-lane-aligned,
     # so centers are read in 128-wide pairs (static offsets) and sliced on
-    # the sublane axis after the lane->sublane relayout
+    # the sublane axis after the lane->sublane relayout; compute runs per
+    # HALF-block (HB = 32) so each half scans only its own row hull
     for g_i in range(G):
         pair_off = (g_i // 2) * 128
         half = (g_i % 2) * B
-        blocks = {
-            name: cen[r:r + 1, pair_off:pair_off + 128]
-            .reshape(1, 128, 1)[:, half:half + B, :]
+        pair_blocks = {
+            name: cen[r:r + 1, pair_off:pair_off + 128].reshape(1, 128, 1)
             for name, r in center_rows.items()}
-        gidx = (sb * SB + g_i * B +
-                jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1))
-        rcnt = meta_ref[row, OFF_RCNT + g_i]
         q_i = meta_ref[row, OFF_QIDX + g_i]
-        wbase = g_i * (3 * R_CAP * 2)
-        # deferred reduction: accumulate full (1, B, WT) contribution
-        # matrices across tiles, reduce over lanes once per sub-block
-        accs = tuple(jnp.zeros((1, B, WT), jnp.float32) for _ in out_names)
 
-        for sp in range(3):   # own plane -1 / 0 / +1
-            slot = q_i * 3 + sp
-            useg = meta_ref[row, OFF_USTART + slot]
-            cap = meta_ref[row, OFF_UTILES + slot] * (DT // WT)
-            dst_s = meta_ref[row, OFF_DST + slot]
+        for hf in range(2):
+            off = half + hf * HB
+            blocks = {name: v[:, off:off + HB, :]
+                      for name, v in pair_blocks.items()}
+            gidx = (sb * SB + g_i * B + hf * HB +
+                    jax.lax.broadcasted_iota(jnp.int32, (1, HB, 1), 1))
+            rcnt = meta_ref[row, OFF_RCNT + g_i * 2 + hf]
+            wbase = (g_i * 2 + hf) * (3 * R_CAP * 2)
+            # deferred reduction: accumulate full (1, HB, WT) contribution
+            # matrices across tiles, reduce over lanes once per half-block
+            accs = tuple(jnp.zeros((1, HB, WT), jnp.float32)
+                         for _ in out_names)
 
-            def row_body(rk, accs, sp=sp, slot=slot, useg=useg, cap=cap,
-                         dst_s=dst_s, wbase=wbase, blocks=blocks, gidx=gidx):
-                st = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2]
-                en = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2 + 1]
-                t_lo = jnp.maximum(st - useg, 0) // WT
-                t_hi = jnp.minimum(
-                    (jnp.maximum(en - useg, 0) + WT - 1) // WT, cap)
+            for sp in range(3):   # own plane -1 / 0 / +1
+                slot = q_i * 3 + sp
+                useg = meta_ref[row, OFF_USTART + slot]
+                cap = meta_ref[row, OFF_UTILES + slot] * (DT // WT)
+                dst_s = meta_ref[row, OFF_DST + slot]
 
-                def tile(t, accs, st=st, en=en, useg=useg, dst_s=dst_s,
-                         blocks=blocks, gidx=gidx):
-                    # per-slot lane offsets are DT-aligned by construction
-                    # (exclusive cumsum of DT-granular slot sizes)
-                    base = pl.multiple_of(dst_s + t * WT, 128)
-                    slabs = {name: win[r:r + 1,
-                                       pl.ds(base, WT)].reshape(1, WT)
-                             for name, r in window_rows.items()}
-                    jg = (useg + t * WT +
-                          jax.lax.broadcasted_iota(jnp.int32, (1, 1, WT), 2))
-                    cx = CxDma(blocks, slabs, jg, st, en, gidx, params)
-                    out = kern(cx)
-                    return tuple(a + jnp.broadcast_to(out[k], (1, B, WT))
-                                 for a, k in zip(accs, out_names))
+                def row_body(rk, accs, sp=sp, slot=slot, useg=useg, cap=cap,
+                             dst_s=dst_s, wbase=wbase, blocks=blocks,
+                             gidx=gidx):
+                    st = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2]
+                    en = wtab_ref[row, wbase + (sp * R_CAP + rk) * 2 + 1]
+                    t_lo = jnp.maximum(st - useg, 0) // WT
+                    t_hi = jnp.minimum(
+                        (jnp.maximum(en - useg, 0) + WT - 1) // WT, cap)
 
-                return jax.lax.fori_loop(t_lo, t_hi, tile, accs,
+                    def tile(t, accs, st=st, en=en, useg=useg, dst_s=dst_s,
+                             blocks=blocks, gidx=gidx):
+                        # per-slot lane offsets are DT-aligned by
+                        # construction (cumsum of DT-granular slot sizes)
+                        base = pl.multiple_of(dst_s + t * WT, 128)
+                        slabs = {name: win[r:r + 1,
+                                           pl.ds(base, WT)].reshape(1, WT)
+                                 for name, r in window_rows.items()}
+                        jg = (useg + t * WT +
+                              jax.lax.broadcasted_iota(
+                                  jnp.int32, (1, 1, WT), 2))
+                        cx = CxDma(blocks, slabs, jg, st, en, gidx, params)
+                        out = kern(cx)
+                        return tuple(
+                            a + jnp.broadcast_to(out[k], (1, HB, WT))
+                            for a, k in zip(accs, out_names))
+
+                    return jax.lax.fori_loop(t_lo, t_hi, tile, accs,
+                                             unroll=False)
+
+                accs = jax.lax.fori_loop(0, rcnt, row_body, accs,
                                          unroll=False)
 
-            accs = jax.lax.fori_loop(0, rcnt, row_body, accs, unroll=False)
-
-        for oref, a in zip(out_refs, accs):
-            oref[0:1, g_i:g_i + 1, :] = jnp.sum(a, axis=2).reshape(1, 1, B)
+            for oref, a in zip(out_refs, accs):
+                oref[0:1, g_i:g_i + 1, off - half:off - half + HB] = \
+                    jnp.sum(a, axis=2).reshape(1, 1, HB)
 
 
 def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,

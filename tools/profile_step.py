@@ -153,14 +153,14 @@ def main():
         SB = pd.B * G
         NSB = params.n_pad // SB
         u_tiles = meta[:NSB, pd.OFF_UTILES:pd.OFF_UTILES + pd.Q_CAP * 3]
-        w = wtab[:NSB].reshape(NSB, G, 3, pd.R_CAP, 2)
+        w = wtab[:NSB].reshape(NSB, G * 2, 3, pd.R_CAP, 2)
         st, en = w[..., 0], w[..., 1]
         # compute tiles: ceil window spans at WT granularity (approx: ignore
         # union-relative alignment, add one tile per nonempty window)
         span = np.maximum(en - st, 0)
         tiles = np.where(span > 0, (span + pd.WT - 1) // pd.WT + 0, 0)
         total_tiles = int(tiles.sum())
-        scanned = total_tiles * pd.WT * pd.B / params.n_particles
+        scanned = total_tiles * pd.WT * pd.HB / params.n_particles
         print(f"compute tiles/pass ≈ {total_tiles} of (B={pd.B},WT) "
               f"(scanned cands/particle ≈ {scanned:.0f}); overflow="
               f"{int(np.asarray(env.overflow))}")
