@@ -72,7 +72,7 @@ def main():
                         st, en = w[h, sp, rk]
                         t_lo = max(st - useg, 0) // WT
                         t_hi = min((max(en - useg, 0) + WT - 1) // WT, cap)
-                        nt = max(t_hi - t_lo, 0)
+                        nt = int(max(t_hi - t_lo, 0))
                         tiles += nt
                         total += nt * WT * HB
     print(f"n_pad={n} producing={n_live} NSB={NSB}")
