@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.params import SimParams
 from . import neighbors as nblib
-from .pair_exec import Cx, FSum, _collect, _split, apply_post
+from .pair_exec import Cx, _collect, _split
 
 # static engine geometry
 B = 64         # sub-block: particles per compute tile (sublane-aligned)
@@ -408,10 +408,6 @@ class CxDma(Cx):
     disjointness); blocks/slabs are (1, B)/(1, WT) VMEM reads; sums are
     deferred (1, B, WT) contribution matrices the engine accumulates."""
 
-    # kernels take their MXU-factored branch here: Mosaic tile programs have
-    # fixed shapes, so the contracted sums are bit-stable across NSB
-    factored = True
-
     def __init__(self, blocks, slabs, jg, st, en, gidx, params):
         self._b = blocks
         self._s = slabs
@@ -429,9 +425,6 @@ class CxDma(Cx):
 
     def slab(self, name):
         return self._s[name].reshape(1, 1, WT)
-
-    def refb(self, name):
-        return self._b[name][:, 0:1, :]
 
     def geometry(self, pos_blk: str = "pos", pos_slab: str = "pos",
                  strict: bool = True):
@@ -455,12 +448,6 @@ class CxDma(Cx):
 
 
 def _probe_shapes(kern, window_names, center_names, params):
-    """Trace the kernel once to discover its output structure.
-
-    Returns ``(legacy_names, groups)``: legacy (deferred-matrix) output names
-    sorted, and an ordered ``{group: [sum names]}`` for FSum entries — the
-    name order fixes each group's feature-column order in the MXU
-    contraction."""
     def probe(b_, s_):
         z = jnp.zeros
         cx = CxDma(b_, s_, z((1, 1, WT), jnp.int32), jnp.int32(0),
@@ -469,26 +456,15 @@ def _probe_shapes(kern, window_names, center_names, params):
     bs = {k: jax.ShapeDtypeStruct((1, HB, 1), jnp.float32)
           for k in center_names}
     ss = {k: jax.ShapeDtypeStruct((1, WT), jnp.float32) for k in window_names}
-    out = jax.eval_shape(probe, bs, ss)
-    legacy = sorted(k for k, v in out.items() if not isinstance(v, FSum))
-    groups: Dict[str, list] = {}
-    for k in sorted(out):
-        v = out[k]
-        if isinstance(v, FSum):
-            groups.setdefault(v.group, []).append(k)
-    return legacy, groups
+    return jax.eval_shape(probe, bs, ss)
 
 
-def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, legacy_names, groups,
-            window_rows, center_rows, params, F_pad, NSB):
+def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
+            center_rows, params, F_pad, NSB):
     G = params.pair_dma_group
     SB = B * G
-    group_keys = sorted(groups)
-    flat_sums = [nm for gk in group_keys for nm in groups[gk]]
-    n_out = len(legacy_names) + len(flat_sums)
+    n_out = len(out_names)
     out_refs = rest[:n_out]
-    legacy_refs = out_refs[:len(legacy_names)]
-    sum_refs = dict(zip(flat_sums, out_refs[len(legacy_names):]))
     win, cen, sem, csem = rest[n_out:]
 
     sb = pl.program_id(0)
@@ -545,17 +521,10 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, legacy_names, groups,
                     jax.lax.broadcasted_iota(jnp.int32, (1, HB, 1), 1))
             rcnt = meta_ref[row, OFF_RCNT + g_i * 2 + hf]
             wbase = (g_i * 2 + hf) * (3 * R_CAP * 2)
-            # legacy outputs: deferred reduction — accumulate full
-            # (1, HB, WT) contribution matrices across tiles, reduce over
-            # lanes once per half-block. Factored (FSum) outputs: one MXU
-            # dot_general per (group, tile) — (F, WT) feature rows against
-            # the (HB, WT) weight matrix, contracting the window lanes —
-            # accumulated as tiny (F, HB) blocks; the lane reduction is the
-            # matmul itself.
-            accs = (tuple(jnp.zeros((1, HB, WT), jnp.float32)
-                          for _ in legacy_names),
-                    tuple(jnp.zeros((len(groups[gk]), HB), jnp.float32)
-                          for gk in group_keys))
+            # deferred reduction: accumulate full (1, HB, WT) contribution
+            # matrices across tiles, reduce over lanes once per half-block
+            accs = tuple(jnp.zeros((1, HB, WT), jnp.float32)
+                         for _ in out_names)
 
             for sp in range(3):   # own plane -1 / 0 / +1
                 slot = q_i * 3 + sp
@@ -585,31 +554,9 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, legacy_names, groups,
                                   jnp.int32, (1, 1, WT), 2))
                         cx = CxDma(blocks, slabs, jg, st, en, gidx, params)
                         out = kern(cx)
-                        leg, fac = accs
-                        leg = tuple(
+                        return tuple(
                             a + jnp.broadcast_to(out[k], (1, HB, WT))
-                            for a, k in zip(leg, legacy_names))
-                        new_fac = []
-                        for a, gk in zip(fac, group_keys):
-                            names = groups[gk]
-                            fss = [out[nm] for nm in names]
-                            w0 = fss[0].weight
-                            assert all(fs.weight is w0 for fs in fss), \
-                                f"FSum group '{gk}' entries must share one " \
-                                "weight object"
-                            wmat = jnp.broadcast_to(
-                                w0, (1, HB, WT)).reshape(HB, WT)
-                            rows = [jnp.ones((1, WT), jnp.float32)
-                                    if fs.feat is None else
-                                    jnp.broadcast_to(
-                                        fs.feat, (1, 1, WT)).reshape(1, WT)
-                                    for fs in fss]
-                            fmat_t = (rows[0] if len(rows) == 1 else
-                                      jnp.concatenate(rows, axis=0))
-                            new_fac.append(a + jax.lax.dot_general(
-                                fmat_t, wmat, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32))
-                        return leg, tuple(new_fac)
+                            for a, k in zip(accs, out_names))
 
                     return jax.lax.fori_loop(t_lo, t_hi, tile, accs,
                                              unroll=False)
@@ -617,27 +564,18 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, legacy_names, groups,
                 accs = jax.lax.fori_loop(0, rcnt, row_body, accs,
                                          unroll=False)
 
-            leg, fac = accs
-            for oref, a in zip(legacy_refs, leg):
+            for oref, a in zip(out_refs, accs):
                 oref[0:1, g_i:g_i + 1, off - half:off - half + HB] = \
                     jnp.sum(a, axis=2).reshape(1, 1, HB)
-            for a, gk in zip(fac, group_keys):
-                for i, nm in enumerate(groups[gk]):
-                    sum_refs[nm][0:1, g_i:g_i + 1,
-                                 off - half:off - half + HB] = \
-                        a[i:i + 1, :].reshape(1, 1, HB)
 
 
 def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
-        params: SimParams, post: Callable | None = None
-        ) -> Dict[str, jnp.ndarray]:
+        params: SimParams) -> Dict[str, jnp.ndarray]:
     """Execute a component pair kernel over the DMA engine.
 
     ``slabs``: window-side per-particle fields, raw (N,) / (N, d) arrays.
     ``fields``: center-side fields (must include 'pos'). Returns per-particle
-    outputs merged back into vectors, like pair_exec.run. ``post``: see
-    pair_exec.run — recombines FSum contracted sums (block reference = the
-    half-block's first particle).
+    outputs merged back into vectors, like pair_exec.run.
     """
     assert "pos" in fields, "fields must include 'pos'"
     G = env.group
@@ -674,15 +612,12 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
     mat = jnp.stack(mat_rows, axis=0)
     mat = jnp.pad(mat, ((0, F_pad - len(mat_rows)), (0, SU)))
 
-    legacy_names, groups = _probe_shapes(kern, set(window), set(center),
-                                         params)
-    flat_sums = [nm for gk in sorted(groups) for nm in groups[gk]]
-    all_names = legacy_names + flat_sums
+    out_struct = _probe_shapes(kern, set(window), set(center), params)
+    out_names = sorted(out_struct.keys())
 
     kern_fn = functools.partial(
-        _kernel, kern=kern, legacy_names=legacy_names, groups=groups,
-        window_rows=window_rows, center_rows=center_rows, params=params,
-        F_pad=F_pad, NSB=NSB)
+        _kernel, kern=kern, out_names=out_names, window_rows=window_rows,
+        center_rows=center_rows, params=params, F_pad=F_pad, NSB=NSB)
 
     W = env.wtab.shape[1]
     interpret = jax.default_backend() != "tpu"
@@ -697,9 +632,9 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec((1, G, B), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)] * len(all_names),
+                                memory_space=pltpu.VMEM)] * len(out_names),
         out_shape=[jax.ShapeDtypeStruct((NSB, G, B), jnp.float32)
-                   for _ in all_names],
+                   for _ in out_names],
         scratch_shapes=[
             pltpu.VMEM((F_pad, SU), jnp.float32),
             pltpu.VMEM((F_pad, SB), jnp.float32),
@@ -708,15 +643,5 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         ],
         interpret=interpret,
     )(env.meta_pack, env.wtab, mat)
-    by_name = {k: o.reshape(NSB, SB) for k, o in zip(all_names, outs)}
-    result = _collect({k: by_name[k] for k in legacy_names}, n)
-    if flat_sums:
-        sums = {k: by_name[k].reshape(-1) for k in flat_sums}
-        if post is None:
-            result.update(sums)
-        else:
-            outs_p = apply_post(post, fields, sums, HB, params)
-            assert not (set(outs_p) & set(result)), \
-                "post/legacy name collision"
-            result.update(outs_p)
-    return result
+    return _collect({k: o.reshape(NSB, SB) for k, o in zip(out_names, outs)},
+                    n)

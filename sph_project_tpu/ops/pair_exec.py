@@ -32,80 +32,6 @@ from ..core.params import SimParams
 from .pairs import PairEnv, SlabField, _gather_field, block
 
 
-@jax.tree_util.register_pytree_node_class
-class FSum:
-    """Factored pair sum: ``sum_j weight_ij * feat_j``.
-
-    ``weight`` is a masked per-pair matrix (rows=centers, cols=window), the
-    same shape :meth:`Cx.sum` takes; ``feat`` is a per-NEIGHBOR row (slab
-    shaped, e.g. ``cx.slab("pos0") - cx.refb("pos0")``) or ``None`` for 1.
-    Entries sharing a ``group`` string must pass the SAME weight object —
-    the DMA engine then contracts the whole group's features against that
-    weight in one MXU ``dot_general`` per window tile instead of carrying one
-    (B, WT) accumulator per output. The kernel's ``post`` hook recombines the
-    contracted sums with center-side fields on plain (N,) arrays.
-
-    ENGINE SPLIT: kernels emit feature-carrying FSums (and rely on ``post``
-    recombination) ONLY inside an ``if cx.factored:`` branch — i.e. only on
-    the DMA engine, whose Mosaic tile programs have fixed shapes and so
-    produce bit-identical sums in every compilation. The classic jax/pallas
-    executors take the legacy per-pair branch: the recombined form
-    ``x_i*S1 - Sx`` hands XLA fresh mul+add chains that it fma-contracts
-    DIFFERENTLY per compilation (shapes differ between the single-device and
-    shard_map programs), which broke the spatial tests' bit-identical-
-    trajectory guarantee. Feature-LESS FSums (plain masked sums) are safe in
-    both branches — their inline evaluation lowers to exactly the legacy
-    ``cx.sum`` graph.
-
-    Features built from positions/velocities should be shifted by
-    ``cx.refb(name)`` (the half-block's first center value) so the post-hoc
-    recombination ``x_i * S1 - Sx`` does not cancel catastrophically in f32;
-    :class:`PostCx` exposes the matching per-particle reference.
-    """
-
-    def __init__(self, group: str, weight, feat=None):
-        self.group = group
-        self.weight = weight
-        self.feat = feat
-
-    def tree_flatten(self):
-        return (self.weight, self.feat), (self.group,)
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        return cls(aux[0], children[0], children[1])
-
-
-class PostCx:
-    """Center-side view for a pair pass's ``post`` hook: full (N,)/(N, dim)
-    arrays. ``c(name)`` returns the center field; ``ref(name)`` the per-
-    particle block-reference value matching what ``cx.refb`` used in the
-    kernel (the half-block's first center — ``post`` only ever runs for the
-    DMA engine; see :class:`FSum`)."""
-
-    def __init__(self, fields: Dict, block_size: int, params: SimParams):
-        self._f = fields
-        self._bs = block_size
-        self.params = params
-        self.dim = params.dim
-
-    def c(self, name: str) -> jnp.ndarray:
-        return self._f[name]
-
-    def ref(self, name: str) -> jnp.ndarray:
-        v = self._f[name]
-        n = v.shape[0]
-        bs = self._bs
-        first = v.reshape((n // bs, bs) + v.shape[1:])[:, 0]
-        return jnp.repeat(first, bs, axis=0)
-
-
-def apply_post(post, fields: Dict, sums: Dict, block_size: int,
-               params: SimParams) -> Dict:
-    pc = PostCx(fields, block_size, params)
-    return post(pc, sums)
-
-
 class Cx:
     """Kernel-facing view of one (rows x cols) pair tile.
 
@@ -126,9 +52,6 @@ class Cx:
         self._gidx = gidx
         self.params = params
         self.dim = params.dim
-
-    # classic executors take kernels' legacy per-pair branch (see FSum)
-    factored = False
 
     def blk(self, name: str) -> jnp.ndarray:
         return self._b[name][..., :, None]
@@ -369,60 +292,39 @@ def _exec_jax(kern, blocks, slabs_c, meta, row_off, params):
 
 
 def run(kern: Callable, env, slabs: Dict, fields: Dict,
-        params: SimParams, post: Callable | None = None
-        ) -> Dict[str, jnp.ndarray]:
+        params: SimParams) -> Dict[str, jnp.ndarray]:
     """Execute a component pair kernel: pass 1 over all blocks (small
     windows), pass 2 over outlier blocks (big windows), merged.
 
     With a :class:`~.pair_dma.DmaPairEnv` the same kernel body runs through
-    the kernel-side-DMA engine instead (slabs/fields are raw arrays there).
-
-    ``post(pc, sums)``: recombination hook for kernels emitting
-    feature-carrying :class:`FSum` entries in their ``cx.factored`` branch —
-    consumed by the DMA engine only; the classic executors below run the
-    kernel's legacy branch and inline any featureless FSums as plain masked
-    sums (callers branch on which output keys came back)."""
+    the kernel-side-DMA engine instead (slabs/fields are raw arrays there)."""
     if hasattr(env, "halo"):          # SpatialEnv (parallel/spatial.py)
         from ..parallel import spatial
-        return spatial.spatial_run(kern, env, slabs, fields, params,
-                                   post=post)
+        return spatial.spatial_run(kern, env, slabs, fields, params)
     if hasattr(env, "meta_pack"):
         from . import pair_dma
-        return pair_dma.run(kern, env, slabs, fields, params, post=post)
+        return pair_dma.run(kern, env, slabs, fields, params)
     assert "pos" in fields, "fields must include 'pos' (center positions)"
     B = params.pair_block
     NB = env.nb
     n = NB * B
     use_pallas = (params.resolved_pair_backend() == "pallas" and
                   jax.default_backend() == "tpu")
-
-    # featureless FSums evaluate inline as plain masked sums — the exact
-    # legacy cx.sum graph, so spatial bit-identity is preserved. Feature-
-    # carrying FSums are DMA-only by contract (see FSum docstring).
-    def kern_w(cx):
-        out = dict(kern(cx))
-        for k, v in out.items():
-            if isinstance(v, FSum):
-                assert v.feat is None, \
-                    f"feature-carrying FSum '{k}' outside cx.factored"
-                out[k] = jnp.sum(v.weight, axis=-1)
-        return out
-
     blocks, ssm, meta_s, blocks_b, sbg, meta_b = prepare_inputs(
         env, slabs, fields, params)
 
     if use_pallas:
-        out = _exec_pallas(kern_w, blocks, ssm, meta_s, env.row_off, params,
+        out = _exec_pallas(kern, blocks, ssm, meta_s, env.row_off, params,
                            interpret=False)
     else:
-        out = _exec_jax(kern_w, blocks, ssm, meta_s, env.row_off, params)
+        out = _exec_jax(kern, blocks, ssm, meta_s, env.row_off, params)
 
     if env.big_ids is not None:
         if use_pallas:
-            out_b = _exec_pallas(kern_w, blocks_b, sbg, meta_b,
-                                 env.row_off_big, params, interpret=False)
+            out_b = _exec_pallas(kern, blocks_b, sbg, meta_b, env.row_off_big,
+                                 params, interpret=False)
         else:
-            out_b = _exec_jax(kern_w, blocks_b, sbg, meta_b, env.row_off_big,
+            out_b = _exec_jax(kern, blocks_b, sbg, meta_b, env.row_off_big,
                               params)
         sel = env.big_flag[env.big_ids][:, None]
         ids = env.big_ids
@@ -431,5 +333,4 @@ def run(kern: Callable, env, slabs: Dict, fields: Dict,
             rows = jnp.where(sel, out_b[k], _rows_of(out[k], ids))
             merged[k] = out[k].at[ids].set(rows)
         out = merged
-
     return _collect(out, n)

@@ -213,20 +213,17 @@ class SpatialPlumbing(simlib.Plumbing):
 
 
 def spatial_run(kern, env: SpatialEnv, slabs: dict, fields: dict,
-                params: SimParams, post=None) -> dict:
+                params: SimParams) -> dict:
     """pair_exec.run for the spatial path: halo-extend every per-particle
     field (fresh exchange per pass — solver iterations see current neighbor
-    state), run the engine on the extended arrays, crop to owned rows (the
-    factored-sum ``post`` hook is per-particle, so it runs on the extended
-    arrays and crops with everything else)."""
+    state), run the engine on the extended arrays, crop to owned rows."""
     from ..ops import pair_exec
 
     H = env.halo
     axis = params.spmd_axis
     slabs_ext = extend_fields(dict(slabs or {}), H, axis)
     fields_ext = extend_fields(dict(fields), H, axis)
-    out = pair_exec.run(kern, env.inner, slabs_ext, fields_ext, params,
-                        post=post)
+    out = pair_exec.run(kern, env.inner, slabs_ext, fields_ext, params)
     return {k: jax.lax.slice_in_dim(v, H, v.shape[0] - H)
             for k, v in out.items()}
 

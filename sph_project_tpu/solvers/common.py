@@ -135,8 +135,6 @@ def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
         _, d2, mask = cx.geometry(pos_blk="pos", pos_slab=pos_key)
         same = cx.slab("object_id") == cx.blk("object_id")
         W = _w_d2(d2, params)
-        if cx.factored:
-            return {"s": pair_exec.FSum("wv", cx.where(mask & same, W, 0.0))}
         return {"s": cx.sum(cx.where(same, W, 0.0), mask)}
 
     slabs = {"object_id": sl["object_id"]}
@@ -196,11 +194,6 @@ def compute_density(p: ParticleState, env: PairEnv, sl: dict,
     (base_solver.py:521-541)."""
     def kern(cx):
         _, d2, mask = cx.geometry()
-        if cx.factored:
-            return {"s": pair_exec.FSum(
-                "dw", cx.where(mask,
-                               cx.slab("rest_volume") * _w_d2(d2, params),
-                               0.0))}
         return {"s": cx.sum(cx.slab("rest_volume") * _w_d2(d2, params), mask)}
 
     s = pair_exec.run(kern, env, {"rest_volume": sl["rest_volume"]},
@@ -325,16 +318,16 @@ def nonpressure_fused(
         mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-        # surface tension (fluid neighbors only; base_solver.py:209-229);
-        # factored: sum mW R_d = x~_d S1 - Sx_d over shifted features
+
+        # surface tension (fluid neighbors only; base_solver.py:209-229)
         w_dm = kernels.W(jnp.float32(diam), params.support_radius,
                          params.dim, params.kernel_type)
         Wst = cx.where(d2 > diam * diam, _w_d2(d2, params), w_dm)
         mW = cx.slab("mass") * Wst
+        out = {f"st{d}": cx.sum(cx.where(fluid_j, mW * R[d], 0.0), fluid_j)
+               for d in range(dim)}
 
-        # standard viscosity (base_solver.py:231-278); the per-pair
-        # projection v_xy stays in the weight (it is trilinear in the
-        # neighbor features), the trailing R_d factors out
+        # standard viscosity (base_solver.py:231-278)
         vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
         v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
         denom = d2 + 0.01 * params.support_radius ** 2
@@ -347,6 +340,9 @@ def nonpressure_fused(
             inv_denom * v_xy
         coef = (cx.where(fluid_j, coef_f, 0.0) +
                 cx.where(rigid_j, coef_b, 0.0)) * gw
+        for d in range(dim):
+            out[f"acc{d}"] = cx.sum(coef * R[d], mask)
+
         if params.has_rigid:
             # viscosity wrench on the rigid row (base_solver.py:272-278)
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
@@ -354,42 +350,8 @@ def nonpressure_fused(
             c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
                 cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
             c = cx.where(pair_ok, c, 0.0)
-
-        if cx.factored:
-            fx = [cx.slab(f"pos{d}") - cx.refb(f"pos{d}")
-                  for d in range(dim)]
-            w_st = cx.where(fluid_j, mW, 0.0)
-            out = {"st1": pair_exec.FSum("wst", w_st),
-                   "ac1": pair_exec.FSum("wac", coef)}
-            for d in range(dim):
-                out[f"stx{d}"] = pair_exec.FSum("wst", w_st, fx[d])
-                out[f"acx{d}"] = pair_exec.FSum("wac", coef, fx[d])
-            if params.has_rigid:
-                out["fp1"] = pair_exec.FSum("wfp", c)
-                for d in range(dim):
-                    out[f"fpx{d}"] = pair_exec.FSum("wfp", c, fx[d])
-            return out
-
-        # legacy per-pair branch (classic executors; see FSum docstring)
-        out = {f"st{d}": cx.sum(cx.where(fluid_j, mW * R[d], 0.0), fluid_j)
-               for d in range(dim)}
-        for d in range(dim):
-            out[f"acc{d}"] = cx.sum(coef * R[d], mask)
-        if params.has_rigid:
             for d in range(dim):
                 out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
-        return out
-
-    def post(pc, sums):
-        b = pc.c("pos") - pc.ref("pos")
-        out = {
-            "st": jnp.stack([b[:, d] * sums["st1"] - sums[f"stx{d}"]
-                             for d in range(dim)], axis=-1),
-            "acc": jnp.stack([b[:, d] * sums["ac1"] - sums[f"acx{d}"]
-                              for d in range(dim)], axis=-1)}
-        if params.has_rigid:
-            out["fpp"] = jnp.stack([b[:, d] * sums["fp1"] - sums[f"fpx{d}"]
-                                    for d in range(dim)], axis=-1)
         return out
 
     inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
@@ -403,7 +365,7 @@ def nonpressure_fused(
          "inv_rho": inv_rho_slab},
         {"pos": p.pos, "vel": p.vel, "mass": p.mass,
          "rest_volume": p.rest_volume, "inv_rho": inv_rho,
-         "rigid_dyn": rigid_dyn}, params, post=post)
+         "rigid_dyn": rigid_dyn}, params)
     fluid_i = (p.material == MATERIAL_FLUID)[:, None]
     a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
     a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
@@ -448,54 +410,23 @@ def pressure_acceleration(
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
     def kern(cx):
-        # p/rho^2 is slabbed per particle — no per-pair divisions.
-        # Factored: acc_d = -[p_i (x~_d(S1f+S1r) - Sxf_d - Sxr_d)
-        #                     + (x~_d Spf - Spxf_d)];
-        # the wrench torque needs NO extra features because
-        # sum c x~_j x x~_j = 0: tq = Sx x b - com~ x (b S1 - Sx).
+        # p/rho^2 is slabbed per particle — no per-pair divisions
         R, d2, mask = cx.geometry()
         gw = _gw_coef(d2, params)
         mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)
-
-        if cx.factored:
-            fx = [cx.slab(f"pos{d}") - cx.refb(f"pos{d}")
-                  for d in range(dim)]
-            pj = cx.slab("p_rho2")
-            wf = cx.where(fluid_j, cx.slab("mass") * gw, 0.0)
-            wr = cx.where(rigid_j,
-                          params.density0 * cx.slab("rest_volume") * gw, 0.0)
-            out = {"f1": pair_exec.FSum("wf", wf),
-                   "fp": pair_exec.FSum("wf", wf, pj),
-                   "r1": pair_exec.FSum("wr", wr)}
-            for d in range(dim):
-                out[f"fx{d}"] = pair_exec.FSum("wf", wf, fx[d])
-                out[f"fpx{d}"] = pair_exec.FSum("wf", wf, pj * fx[d])
-                out[f"rx{d}"] = pair_exec.FSum("wr", wr, fx[d])
-            if with_wrench:
-                # wrench on rigid row r from fluid i (base_solver.py:178-185)
-                pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                    (cx.blk("rigid_dyn") > 0)
-                wp = cx.where(pair_ok,
-                              cx.slab("rest_volume") * pj * gw, 0.0)
-                out["p1"] = pair_exec.FSum("wp", wp)
-                for d in range(dim):
-                    out[f"px{d}"] = pair_exec.FSum("wp", wp, fx[d])
-            return out
-
-        # legacy per-pair branch (classic executors; see FSum docstring)
         p_rho2_i = cx.blk("p_rho2")
         term_f = cx.slab("mass") * (p_rho2_i + cx.slab("p_rho2"))
         term_b = params.density0 * cx.slab("rest_volume") * p_rho2_i
         term = (cx.where(fluid_j, term_f, 0.0) +
                 cx.where(rigid_j, term_b, 0.0)) * gw
         out = {f"acc{d}": cx.sum(-term * R[d], mask) for d in range(dim)}
+
         if with_wrench:
             # wrench on rigid row r from fluid i (base_solver.py:178-185):
             # arm uses the FLUID position x_i = x_r - R
-            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                (cx.blk("rigid_dyn") > 0)
+            pair_ok = mask & (mat_j == MATERIAL_FLUID) & (cx.blk("rigid_dyn") > 0)
             m_n = params.density0 * cx.slab("rest_volume")
             c = -(params.density0 * cx.blk("rest_volume")) * \
                 cx.slab("p_rho2") * m_n * gw
@@ -509,34 +440,13 @@ def pressure_acceleration(
                 out[f"tpp{d}"] = cx.sum(tq[d], pair_ok)
         return out
 
-    def post(pc, sums):
-        pos, rp = pc.c("pos"), pc.ref("pos")
-        b = pos - rp
-        p_i = pc.c("p_rho2")
-        acc = jnp.stack(
-            [-(p_i * (b[:, d] * (sums["f1"] + sums["r1"])
-                      - sums[f"fx{d}"] - sums[f"rx{d}"])
-               + (b[:, d] * sums["fp"] - sums[f"fpx{d}"]))
-             for d in range(dim)], axis=-1)
-        out = {"acc": acc}
-        if with_wrench:
-            rho0 = params.density0
-            coef = -(rho0 * rho0 * pc.c("rest_volume"))[:, None]
-            sx = jnp.stack([sums[f"px{d}"] for d in range(dim)], axis=-1)
-            out["fpp"] = coef * (b * sums["p1"][:, None] - sx)
-            com_t = pc.c("com") - rp
-            tq = pair_cross(sx, b, params.dim) - pair_cross(
-                com_t, b * sums["p1"][:, None] - sx, params.dim)
-            out["tpp"] = coef * tq
-        return out
-
     out = pair_exec.run(
         kern, env,
         {"material": sl["material"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
          "p_rho2": p_rho2_slab},
         {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume,
-         "rigid_dyn": rigid_dyn, "com": com_self}, params, post=post)
+         "rigid_dyn": rigid_dyn, "com": com_self}, params)
     fluid_i = p.material == MATERIAL_FLUID
     a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], out["acc"], 0.0)
     if not with_wrench:

@@ -58,11 +58,7 @@ def compute_alpha(p: ParticleState, env: PairEnv, sl: dict,
 def density_and_alpha(p: ParticleState, env: PairEnv, sl: dict,
                       params: SimParams):
     """Fused density summation + alpha factor (one pair pass instead of two;
-    physics identical to compute_density + compute_alpha).
-
-    Factored (FSum) form: the gradient sum ``sum_j c_ij R_ij`` splits into
-    ``x_i * sum c - sum(c x_j)`` with block-shifted coordinates; the DMA
-    engine contracts the features on the MXU and ``post`` recombines."""
+    physics identical to compute_density + compute_alpha)."""
     dim = params.dim
 
     def kern(cx):
@@ -72,39 +68,20 @@ def density_and_alpha(p: ParticleState, env: PairEnv, sl: dict,
         gw = common._gw_coef(d2, params)
         c = -vj * gw
         fluid_j = mask & (cx.slab("material") == MATERIAL_FLUID)
-        if cx.factored:
-            w_s = cx.where(mask, vj * W, 0.0)
-            w_q = cx.where(fluid_j, c * c * d2, 0.0)
-            w_v = cx.where(mask, c, 0.0)
-            out = {"s": pair_exec.FSum("dw", w_s),
-                   "sum_sq": pair_exec.FSum("aq", w_q),
-                   "v1": pair_exec.FSum("av", w_v)}
-            for d in range(dim):
-                out[f"vx{d}"] = pair_exec.FSum(
-                    "av", w_v, cx.slab(f"pos{d}") - cx.refb(f"pos{d}"))
-            return out
-        # legacy per-pair branch (classic executors; see FSum docstring)
         out = {"s": cx.sum(vj * W, mask),
                "sum_sq": cx.sum(c * c * d2, fluid_j)}
         for d in range(dim):
             out[f"vec{d}"] = cx.sum(c * R[d], mask)
         return out
 
-    def post(pc, sums):
-        pos, ref = pc.c("pos"), pc.ref("pos")
-        vec2 = sum(((pos[:, d] - ref[:, d]) * sums["v1"] - sums[f"vx{d}"]) ** 2
-                   for d in range(dim))
-        return {"s": sums["s"], "denom": sums["sum_sq"] + vec2}
-
     out = pair_exec.run(kern, env,
                         {"rest_volume": sl["rest_volume"],
                          "material": sl["material"]},
-                        {"pos": p.pos}, params, post=post)
+                        {"pos": p.pos}, params)
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type) + out["s"]) * params.density0
     dens = jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
-    denom = out["denom"] if "denom" in out else \
-        out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
+    denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
     alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
     alpha = jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
     return dens, alpha
@@ -118,29 +95,8 @@ def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
     dim = params.dim
 
     def kern(cx):
-        # factored: (v_i - v_j).(x_i - x_j) expands over block-shifted
-        # features [1, x_j, v_j, x_j.v_j] — the velocity dependence moves
-        # entirely into the MXU contraction, so the weight is geometry-only
-        # and no per-pair velocity math runs on the VPU
         R, d2, mask = cx.geometry()
         gw = common._gw_coef(d2, params)
-        if cx.factored:
-            w = cx.where(mask, cx.slab("rest_volume") * gw, 0.0)
-            fx = [cx.slab(f"pos{d}") - cx.refb(f"pos{d}")
-                  for d in range(dim)]
-            fv = [cx.slab(f"vel{d}") - cx.refb(f"vel{d}")
-                  for d in range(dim)]
-            out = {"s1": pair_exec.FSum("dv", w),
-                   "sxv": pair_exec.FSum(
-                       "dv", w, sum(fx[d] * fv[d] for d in range(dim)))}
-            for d in range(dim):
-                out[f"sx{d}"] = pair_exec.FSum("dv", w, fx[d])
-                out[f"sv{d}"] = pair_exec.FSum("dv", w, fv[d])
-            if with_count:
-                out["cnt"] = pair_exec.FSum(
-                    "ct", cx.where(mask, jnp.ones_like(d2), 0.0))
-            return out
-        # legacy per-pair branch (classic executors; see FSum docstring)
         vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
         dv_R = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
         contrib = cx.slab("rest_volume") * dv_R * gw
@@ -149,21 +105,9 @@ def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
             out["cnt"] = cx.sum(jnp.ones_like(contrib), mask)
         return out
 
-    def post(pc, sums):
-        a = pc.c("vel") - pc.ref("vel")
-        b = pc.c("pos") - pc.ref("pos")
-        s = (jnp.sum(a * b, axis=-1) * sums["s1"]
-             - sum(a[:, d] * sums[f"sx{d}"] + b[:, d] * sums[f"sv{d}"]
-                   for d in range(dim))
-             + sums["sxv"])
-        out = {"s": s}
-        if with_count:
-            out["cnt"] = sums["cnt"]
-        return out
-
     out = pair_exec.run(kern, env,
                         {"rest_volume": sl["rest_volume"], "vel": vel_slab},
-                        {"pos": p.pos, "vel": vel}, params, post=post)
+                        {"pos": p.pos, "vel": vel}, params)
     if with_count:
         return out["s"], out["cnt"]
     return out["s"]
@@ -200,10 +144,6 @@ def _correction(
 
     def kern(cx):
         # all divisions hoisted to per-particle precomputes (k_rho = kappa/rho)
-        # factored: dv_d = -rho0 [ kr_i (x~_d S1f - Sxf_d)
-        #                          + (x~_d Skf - Skxf_d)
-        #                          + kr_i (x~_d S1r - Sxr_d) ]
-        # with x~ = x_i - ref; the per-pair eps gates stay in the weights
         R, d2, mask = cx.geometry()
         gw = common._gw_coef(d2, params)
         vgw = cx.slab("rest_volume") * gw                  # grad_pj = vgw * R
@@ -214,34 +154,11 @@ def _correction(
         kr_j = cx.slab("k_rho")
         fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
         rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
-
-        if cx.factored:
-            fx = [cx.slab(f"pos{d}") - cx.refb(f"pos{d}")
-                  for d in range(dim)]
-            wf = cx.where(fluid_j, vgw, 0.0)
-            wr = cx.where(rigid_j, vgw, 0.0)
-            out = {"f1": pair_exec.FSum("wf", wf),
-                   "fk": pair_exec.FSum("wf", wf, kr_j),
-                   "r1": pair_exec.FSum("wr", wr)}
-            for d in range(dim):
-                out[f"fx{d}"] = pair_exec.FSum("wf", wf, fx[d])
-                out[f"fkx{d}"] = pair_exec.FSum("wf", wf, kr_j * fx[d])
-                out[f"rx{d}"] = pair_exec.FSum("wr", wr, fx[d])
-            if params.has_rigid:
-                # wrench on rigid row r, fluid neighbor i (DFSPH.py:193-202)
-                pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                    (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
-                wp = cx.where(pair_ok, vgw * kr_j, 0.0)
-                out["p1"] = pair_exec.FSum("wp", wp)
-                for d in range(dim):
-                    out[f"px{d}"] = pair_exec.FSum("wp", wp, fx[d])
-            return out
-
-        # legacy per-pair branch (classic executors; see FSum docstring)
         coef = (cx.where(fluid_j, kr_i + kr_j, 0.0) +
                 cx.where(rigid_j, kr_i, 0.0)) * params.density0 * vgw
         out = {f"dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
                for d in range(dim)}
+
         if params.has_rigid:
             # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
@@ -254,33 +171,13 @@ def _correction(
                 out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
         return out
 
-    def post(pc, sums):
-        pos, rp = pc.c("pos"), pc.ref("pos")
-        kr_i = pc.c("k_rho")
-        rho0 = params.density0
-        dv = []
-        for d in range(dim):
-            b = pos[:, d] - rp[:, d]
-            t = (kr_i * (b * sums["f1"] - sums[f"fx{d}"])
-                 + (b * sums["fk"] - sums[f"fkx{d}"])
-                 + kr_i * (b * sums["r1"] - sums[f"rx{d}"]))
-            dv.append(-rho0 * t)
-        out = {"dv": jnp.stack(dv, axis=-1)}
-        if params.has_rigid:
-            coef = -(pc.c("rest_volume") * rho0 * rho0 / params.dt)
-            out["fpp"] = jnp.stack(
-                [coef * ((pos[:, d] - rp[:, d]) * sums["p1"] - sums[f"px{d}"])
-                 for d in range(dim)], axis=-1)
-        return out
-
     k_rho = kappa / jnp.maximum(p.density, 1e-12)
     out = pair_exec.run(
         kern, env,
         {"rest_volume": sl["rest_volume"], "material": sl["material"],
          "kappa": kappa_slab, "k_rho": k_rho},
         {"pos": p.pos, "kappa": kappa, "k_rho": k_rho,
-         "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params,
-        post=post)
+         "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params)
     fluid_i = p.material == MATERIAL_FLUID
     dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
     if not params.has_rigid:
