@@ -5,6 +5,7 @@ serves identical-input dispatches from a result cache) and scalar-fetch sync
 (block_until_ready is a no-op through the tunnel).
 
 Usage: python tools/profile_step.py --n 400000 --reps 10
+       python tools/profile_step.py --scene data/scenes/large_scale_dfsph.json
 """
 from __future__ import annotations
 
@@ -29,6 +30,8 @@ def timeit(fn, state, reps, sync, *, perturb=None):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=400_000)
+    ap.add_argument("--scene", default=None,
+                    help="profile a scene JSON instead of the synthetic cube")
     ap.add_argument("--reps", type=int, default=10)
     args = ap.parse_args()
 
@@ -46,7 +49,11 @@ def main():
     from sph_project_tpu.solvers import common, dfsph
     from sph_project_tpu.ops.pairs import slab_pack
 
-    scene, state = bench.build_synthetic(args.n)
+    if args.scene:
+        from sph_project_tpu.scene import load_scene
+        scene, state = load_scene(args.scene)
+    else:
+        scene, state = bench.build_synthetic(args.n)
     params = scene.params
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
     step = jax.jit(simlib.get_step_fn(params))
