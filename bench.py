@@ -120,13 +120,15 @@ def main():
     step = simlib._jitted_step(params)
 
     max_ovf = 0
+    max_sort_ovf = 0
 
     def run_steps(n):
-        nonlocal state, max_ovf
+        nonlocal state, max_ovf, max_sort_ovf
         diag = None
         for _ in range(n):
             state, diag = step(state)
         max_ovf = max(max_ovf, int(diag["neighbor_overflow"]))
+        max_sort_ovf = max(max_sort_ovf, int(diag.get("sort_overflow", 0)))
         float(state.t)
         return diag
 
@@ -181,6 +183,7 @@ def main():
         "early_fall_iters": list(early_iters),
         "settled_iters": list(iters),
         "overflow": max_ovf,
+        "overflow_sort": max_sort_ovf,
     }))
 
 

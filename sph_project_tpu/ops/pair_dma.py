@@ -78,6 +78,10 @@ class DmaPairEnv(struct.PyTreeNode):
     wtab: jnp.ndarray        # (NSB_pad8, G*3*R_CAP*2) i32 — [st, en) per
                              # (sub-block, plane slot, row slot)
     overflow: jnp.ndarray    # () i32 — candidates/windows lost to caps
+    # sort-kernel repair shortfall folded into ``overflow`` by neighbor_prep
+    # (zeroed particle records — corruption, not just missed candidates);
+    # kept separately so diagnostics can tell the two apart
+    sort_overflow: jnp.ndarray = None
 
     # static config riders (stored as leaves would break jit; recompute)
     n: int = struct.field(pytree_node=False, default=0)

@@ -62,6 +62,10 @@ class PairEnv(struct.PyTreeNode):
     row_slab_big: jnp.ndarray = None  # (M, NS*Sb) i32
     pos_slab_big: jnp.ndarray = None  # (M, NS*Sb, dim)
     row_off_big: jnp.ndarray = None   # (NS*Sb,) i32
+    # sort-kernel repair shortfall folded into ``overflow`` by neighbor_prep
+    # (zeroed particle records — corruption, not just missed candidates);
+    # kept separately so diagnostics can tell the two apart
+    sort_overflow: jnp.ndarray = None
 
     @property
     def nb(self) -> int:

@@ -87,6 +87,10 @@ class SpatialEnv(struct.PyTreeNode):
     def overflow(self):
         return self.inner.overflow + self.halo_shortfall
 
+    @property
+    def sort_overflow(self):
+        return self.inner.sort_overflow
+
 
 def halo_extend(x: jnp.ndarray, H: int, axis: str) -> jnp.ndarray:
     """(n_local, ...) -> (n_local + 2H, ...): prepend the left neighbor's

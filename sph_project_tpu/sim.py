@@ -148,7 +148,8 @@ class Plumbing:
         p = state.particles
         produces = produces_output(p, state.rigid, params)
         env = build_env(p, cells_sorted, produces, params)
-        env = env.replace(overflow=env.overflow + sort_ovf)
+        env = env.replace(overflow=env.overflow + sort_ovf,
+                          sort_overflow=sort_ovf)
         return state, env
 
     @staticmethod
@@ -262,6 +263,10 @@ class Plumbing:
             neighbor_overflow=common.global_sum(env.overflow, params).astype(
                 jnp.int32),
         )
+        so = getattr(env, "sort_overflow", None)
+        d["sort_overflow"] = (
+            common.global_sum(so, params).astype(jnp.int32)
+            if so is not None else jnp.int32(0))
         if extra:
             d.update(extra)
         return d

@@ -48,21 +48,21 @@ def main():
         float(jnp.sum(s.particles.pos[0]))
 
     def timeit(fn, s, reps):
-        out = fn(s)
-        sync(out)
+        # chain from fn's own output: the step donates its input buffers
+        cur = fn(s)
+        sync(cur)
         t0 = time.perf_counter()
-        cur = s
         for _ in range(reps):
             cur = fn(cur)
         sync(cur)
-        return (time.perf_counter() - t0) / reps
+        return (time.perf_counter() - t0) / reps, cur
 
     # (a) near-no-op: touch one field so the dispatch isn't cached
     @jax.jit
     def noop(s):
         return s.replace(t=s.t + 1e-9)
 
-    t_noop = timeit(noop, state, 20)
+    t_noop, state = timeit(noop, state, 20)
 
     # (b) single step
     step = simlib._jitted_step(params)
@@ -70,7 +70,7 @@ def main():
     for _ in range(3):
         st, _ = step(st)
     float(st.t)
-    t_step = timeit(lambda s: step(s)[0], st, args.reps * 2)
+    t_step, st = timeit(lambda s: step(s)[0], st, args.reps * 2)
 
     # (c) scan chunk
     step_fn = simlib.get_step_fn(params)
@@ -82,7 +82,8 @@ def main():
             return carry, None
         return jax.lax.scan(body, s, None, length=n)[0]
 
-    t_chunk = timeit(lambda s: scan_steps(s, args.chunk), st, args.reps)
+    t_chunk, st = timeit(lambda s: scan_steps(s, args.chunk), st,
+                         args.reps)
 
     print(f"no-op dispatch      {t_noop*1e3:8.1f} ms")
     print(f"single step         {t_step*1e3:8.1f} ms")
