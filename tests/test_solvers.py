@@ -76,6 +76,8 @@ def test_dam_break_settles(method):
     # density never runs away (solvers keep compression bounded)
     assert diag["density_max"] < 1150.0, f"{method}: density {diag['density_max']}"
     assert diag["neighbor_overflow"] == 0
+    # the sort-vs-window overflow split is present and clean
+    assert diag["sort_overflow"] == 0
 
 
 def test_mass_conservation_and_determinism():
