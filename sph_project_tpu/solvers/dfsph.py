@@ -87,6 +87,51 @@ def density_and_alpha(p: ParticleState, env: PairEnv, sl: dict,
     return dens, alpha
 
 
+def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
+                             params: SimParams):
+    """density_and_alpha + the divergence solver's initial density
+    derivative, all in ONE pair pass (they run back-to-back on the same env
+    in the step; the derivative needs only pos/vel, not the new density).
+    Physics identical to density_and_alpha + compute_density_derivative."""
+    dim = params.dim
+
+    def kern(cx):
+        R, d2, mask = cx.geometry()
+        W = common._w_d2(d2, params)
+        vj = cx.slab("rest_volume")
+        gw = common._gw_coef(d2, params)
+        c = -vj * gw
+        fluid_j = mask & (cx.slab("material") == MATERIAL_FLUID)
+        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+        dv_R = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
+        out = {"sd": cx.sum(vj * W, mask),
+               "sum_sq": cx.sum(c * c * d2, fluid_j),
+               "sv": cx.sum(vj * dv_R * gw, mask),
+               "cnt": cx.sum(jnp.ones_like(d2), mask)}
+        for d in range(dim):
+            out[f"vec{d}"] = cx.sum(c * R[d], mask)
+        return out
+
+    out = pair_exec.run(kern, env,
+                        {"rest_volume": sl["rest_volume"],
+                         "material": sl["material"],
+                         "vel": slab_pack(env, {"v": p.vel})["v"]},
+                        {"pos": p.pos, "vel": p.vel}, params)
+    dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
+                                       params.kernel_type)
+            + out["sd"]) * params.density0
+    dens = jnp.where(p.material == MATERIAL_FLUID, dens, p.density)
+    denom = out["sum_sq"] + jnp.sum(out["vec"] * out["vec"], axis=-1)
+    alpha = jnp.where(denom > 1e-5, 1.0 / jnp.maximum(denom, 1e-30), 0.0)
+    alpha = jnp.where(p.material == MATERIAL_FLUID, alpha, 0.0)
+    # derivative post (compute_density_derivative; DFSPH.py:65-87)
+    adv = jnp.maximum(out["sv"], 0.0)
+    min_nbrs = 20 if params.dim == 3 else 7
+    adv = jnp.where(out["cnt"] < min_nbrs, 0.0, adv)
+    deriv0 = jnp.where(p.material == MATERIAL_FLUID, adv, 0.0)
+    return dens, alpha, deriv0
+
+
 def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
                     env: PairEnv, sl: dict, params: SimParams,
                     with_count: bool = False):
@@ -233,11 +278,16 @@ def correct_density_error(
 def correct_divergence_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
     env: PairEnv, sl: dict, params: SimParams,
+    deriv0: jnp.ndarray = None,
 ) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray]:
-    """Divergence-free solver (DFSPH.py:139-159)."""
+    """Divergence-free solver (DFSPH.py:139-159). ``deriv0``: the initial
+    density derivative when the caller already computed it (fused into the
+    density/alpha pass — density_alpha_divergence)."""
     eta = params.dfsph_max_error_v * params.density0 / params.dt
-    vslab0 = slab_pack(env, {"v": p.vel})["v"]
-    deriv0 = compute_density_derivative(p, p.vel, vslab0, env, sl, params)
+    if deriv0 is None:
+        vslab0 = slab_pack(env, {"v": p.vel})["v"]
+        deriv0 = compute_density_derivative(p, p.vel, vslab0, env, sl,
+                                            params)
 
     def cond(carry):
         _, _, _, _, itr, err = carry
@@ -296,11 +346,11 @@ def segment_b(state: SimState, params: SimParams, plumbing
     state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
     sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    dens, alpha = density_and_alpha(p, env, sl, params)
+    dens, alpha, deriv0 = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": dens})["d"]
     p, rigid, itr_v, err_v = correct_divergence_error(
-        p, state.rigid, alpha, env, sl, params)
+        p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
     if params.has_rigid:
         p = common.compute_rigid_particle_volume(p, env, sl, params)
     state = state.replace(
@@ -336,11 +386,11 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
     sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    dens, alpha = density_and_alpha(p, env, sl, params)
+    dens, alpha, deriv0 = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": p.density})["d"]
     p, rigid, itr_v, err_v = correct_divergence_error(
-        p, state.rigid, alpha, env, sl, params)
+        p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
     if params.has_rigid:
