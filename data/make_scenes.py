@@ -158,10 +158,12 @@ SCENES = {
         "FluidBlocks": [fluid_block(0, (1.12, 1.0, 1.0), (1.88, 12.2, 1.08),
                                     vel=(0.0, -2.2, 0.75))],
     },
-    # emitter scene at reduced resolution: the full-scale reference spec
-    # (2.25M particles, 97% domain-box walls) exceeds one v5e chip's 16 GB
-    # with the current materialized-slab engine; this variant keeps the same
-    # physics at particleRadius 0.015
+    # emitter scene at reduced resolution. (Historical: the round-1
+    # materialized-slab engine could not fit the full 2.25M spec in a v5e's
+    # 16 GB; with the DMA engine + donation the full scene's resident
+    # budget is 5.4 GiB — see BASELINE.md's memory envelope — and the
+    # full-scale buckling_emitter.json above is first-class. This variant
+    # stays as the quick-iteration config at particleRadius 0.015.)
     "buckling_emitter_small": {
         "Configuration": config((4.0, 20.0, 8.0), "dfsph", 1e-3,
                                 visc=1800.0, visc_b=1800.0,

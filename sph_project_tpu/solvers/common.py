@@ -142,6 +142,14 @@ def compute_rigid_particle_volume(p: ParticleState, env: PairEnv, sl: dict,
         slabs["posf"] = pos_slab
     s = pair_exec.run(kern, env, slabs,
                       {"pos": p.pos, "object_id": p.object_id}, params)["s"]
+    return apply_rigid_volume(p, s, params)
+
+
+def apply_rigid_volume(p: ParticleState, s: jnp.ndarray,
+                       params: SimParams) -> ParticleState:
+    """Fold a same-object kernel sum into rigid pseudo-volumes/masses
+    (the tail of compute_rigid_particle_volume; reusable by fused passes
+    that produce the sum as one of several outputs)."""
     denom = kernels.W0(params.support_radius, params.dim, params.kernel_type) + s
     vol = 1.0 / jnp.maximum(denom, 1e-30)
     # per-step only DYNAMIC rigid particles: static walls keep the volumes

@@ -92,7 +92,10 @@ def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
     """density_and_alpha + the divergence solver's initial density
     derivative, all in ONE pair pass (they run back-to-back on the same env
     in the step; the derivative needs only pos/vel, not the new density).
-    Physics identical to density_and_alpha + compute_density_derivative."""
+    With rigid bodies the step-tail's rigid pseudo-volume sum rides along
+    too (positions do not move between the resort and the step end, so its
+    value is identical) — returned as the 4th element, else None.
+    Physics identical to the unfused passes."""
     dim = params.dim
 
     def kern(cx):
@@ -110,13 +113,20 @@ def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
                "cnt": cx.sum(jnp.ones_like(d2), mask)}
         for d in range(dim):
             out[f"vec{d}"] = cx.sum(c * R[d], mask)
+        if params.has_rigid:
+            # same-object kernel sum for rigid pseudo-volumes
+            # (compute_rigid_particle_volume's kern; base_solver.py:105-123)
+            same = cx.slab("object_id") == cx.blk("object_id")
+            out["svol"] = cx.sum(cx.where(same, W, 0.0), mask)
         return out
 
-    out = pair_exec.run(kern, env,
-                        {"rest_volume": sl["rest_volume"],
-                         "material": sl["material"],
-                         "vel": slab_pack(env, {"v": p.vel})["v"]},
-                        {"pos": p.pos, "vel": p.vel}, params)
+    slabs = {"rest_volume": sl["rest_volume"], "material": sl["material"],
+             "vel": slab_pack(env, {"v": p.vel})["v"]}
+    fields = {"pos": p.pos, "vel": p.vel}
+    if params.has_rigid:
+        slabs["object_id"] = sl["object_id"]
+        fields["object_id"] = p.object_id
+    out = pair_exec.run(kern, env, slabs, fields, params)
     dens = (p.rest_volume * kernels.W0(params.support_radius, params.dim,
                                        params.kernel_type)
             + out["sd"]) * params.density0
@@ -129,7 +139,7 @@ def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
     min_nbrs = 20 if params.dim == 3 else 7
     adv = jnp.where(out["cnt"] < min_nbrs, 0.0, adv)
     deriv0 = jnp.where(p.material == MATERIAL_FLUID, adv, 0.0)
-    return dens, alpha, deriv0
+    return dens, alpha, deriv0, out.get("svol")
 
 
 def _divergence_sum(p: ParticleState, vel: jnp.ndarray, vel_slab: jnp.ndarray,
@@ -346,13 +356,13 @@ def segment_b(state: SimState, params: SimParams, plumbing
     state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
     sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    dens, alpha, deriv0 = density_alpha_divergence(p, env, sl, params)
+    dens, alpha, deriv0, svol = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": dens})["d"]
     p, rigid, itr_v, err_v = correct_divergence_error(
         p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
     if params.has_rigid:
-        p = common.compute_rigid_particle_volume(p, env, sl, params)
+        p = common.apply_rigid_volume(p, svol, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha,
         t=state.t + params.dt, step_count=state.step_count + 1,
@@ -386,7 +396,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     state, env = plumbing.neighbor_prep(state, params)
     p = state.particles
     sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
-    dens, alpha, deriv0 = density_alpha_divergence(p, env, sl, params)
+    dens, alpha, deriv0, svol = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": p.density})["d"]
     p, rigid, itr_v, err_v = correct_divergence_error(
@@ -394,7 +404,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
     if params.has_rigid:
-        p = common.compute_rigid_particle_volume(p, env, sl, params)
+        p = common.apply_rigid_volume(p, svol, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=env,
         t=state.t + params.dt, step_count=state.step_count + 1,
