@@ -105,6 +105,12 @@ class SimParams:
     # one-hot MXU permute kernel for the per-step sort; scenes whose deferred
     # entries exceed the kernel's sparse-fix budget use exact gathers instead
     sort_kernel: bool = True
+    # build the per-step sort permutation incrementally from the previous
+    # layout (cell-crossers only) instead of a full stable argsort; crossers
+    # beyond the n_pad//4 budget are counted into sort overflow (loud) and
+    # the layout degrades. Default off until hardware-validated (see
+    # tools/sort_cost.py and ROADMAP).
+    sort_incremental: bool = False
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
     contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
     contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)

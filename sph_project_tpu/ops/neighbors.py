@@ -138,6 +138,116 @@ def plane_padded_permutation(cells: jnp.ndarray,
     return perm
 
 
+def incremental_plane_padded_permutation(
+        cells_new: jnp.ndarray, cells_old: jnp.ndarray,
+        t_start: jnp.ndarray, t_end: jnp.ndarray, params: SimParams):
+    """plane_padded_permutation without the full stable argsort, exploiting
+    that the state is already cell-sorted from the previous step: only
+    CELL-CROSSERS move, and their per-cell ranks come from one small sort.
+
+    ``cells_new``: this step's cell ids in current slot order. ``cells_old``:
+    the ids the current layout was sorted by (stored in the previous env,
+    NOT recomputed from positions — see sort_state's fusion-rounding note).
+    ``t_start``/``t_end``: the previous env's occurrence tables over
+    ``cells_old`` (backfilled; count(c) = max(end-start, 0) is exact because
+    pad gaps only sit between plane runs, never inside a cell's range).
+
+    New intra-cell order is DETERMINISTIC but not the stable-argsort order:
+    stayers first (old slot order), then arrivals (old slot order). Windows
+    only need grouping by cell, so physics is exact either way.
+
+    Returns (perm, overflow): overflow counts crossers beyond the static
+    n//4 budget — the layout is then degraded (particles placed at clamped
+    slots), surfaced loudly like every other engine cap.
+    """
+    n = cells_new.shape[0]
+    ncells = params.num_cells
+    g = params.grid_num
+    plane_stride = 1
+    for s in g[1:]:
+        plane_stride *= s
+    gx = g[0]
+    K = max(4096, n // 4)
+    i32 = jnp.int32
+    idx = jnp.arange(n, dtype=i32)
+
+    live_n = cells_new < ncells
+    live_o = cells_old < ncells
+    stay = live_n & (cells_new == cells_old)
+    mover = live_n & ~stay
+    leaver = live_o & (cells_new != cells_old)
+
+    def compact(mask):
+        r = (jnp.cumsum(mask) - mask).astype(i32)
+        total = r[-1] + mask[-1].astype(i32)
+        slots = jnp.full((K,), n, i32).at[
+            jnp.where(mask, r, K)].set(idx, mode="drop")
+        return slots, total
+
+    mov_slot, n_mov = compact(mover)
+    lv_slot, n_lv = compact(leaver)
+    ovf = jnp.maximum(n_mov - K, 0) + jnp.maximum(n_lv - K, 0)
+
+    mov_cell = jnp.where(mov_slot < n,
+                         cells_new[jnp.minimum(mov_slot, n - 1)], ncells)
+    lv_cell = jnp.where(lv_slot < n,
+                        cells_old[jnp.minimum(lv_slot, n - 1)], ncells)
+
+    count_old = jnp.maximum(t_end[:ncells] - t_start[:ncells], 0)
+    arr_hist = jnp.zeros((ncells,), i32).at[mov_cell].add(1, mode="drop")
+    lv_hist = jnp.zeros((ncells,), i32).at[lv_cell].add(1, mode="drop")
+    stay_hist = count_old - lv_hist
+    live_hist = stay_hist + arr_hist
+
+    cum_arr_in = jnp.cumsum(arr_hist)
+    cum_arr_ex = cum_arr_in - arr_hist
+    cum_stay_in = jnp.cumsum(stay_hist)
+
+    # plane padding bases (cells of one x-plane are contiguous in flat id)
+    pl_counts = live_hist.reshape(gx, plane_stride).sum(axis=1)
+    padded = (pl_counts + PLANE_PAD - 1) // PLANE_PAD * PLANE_PAD
+    cump = jnp.cumsum(padded)
+    base_pad = cump - padded
+    cum_live = jnp.cumsum(pl_counts)
+    live_ex = cum_live - pl_counts
+    adj = (base_pad - live_ex).astype(i32)   # slot = live_rank + adj[plane]
+
+    # stayers: the old live order is ascending in cell id, so the global
+    # stayer prefix IS cum_stay_excl(cell) + within-cell stable rank
+    scum = (jnp.cumsum(stay) - stay).astype(i32)
+    cn = jnp.minimum(cells_new, ncells - 1)
+    rank_stay = scum + cum_arr_ex[cn]
+    out_stay = jnp.minimum(rank_stay + adj[cn // plane_stride], n - 1)
+
+    # movers: one K-sized stable sort by target cell; position in the
+    # sorted list already equals cum_arr_excl(cell) + within-cell rank
+    mseq = jnp.argsort(mov_cell, stable=True)
+    mc_s = mov_cell[mseq]
+    ms_s = mov_slot[mseq]
+    mc = jnp.minimum(mc_s, ncells - 1)
+    rank_mov = cum_stay_in[mc] + jnp.arange(K, dtype=i32)
+    out_mov = jnp.where(mc_s < ncells,
+                        jnp.minimum(rank_mov + adj[mc // plane_stride],
+                                    n - 1), n)
+
+    # dead records absorb the free slots (pad gaps + tail) in slot order
+    occupied = jnp.zeros((n,), i32).at[
+        jnp.where(stay, out_stay, n)].set(1, mode="drop")
+    occupied = occupied.at[out_mov].set(1, mode="drop")
+    nfree = 1 - occupied
+    free_rank = (jnp.cumsum(nfree) - nfree).astype(i32)
+    free = jnp.zeros((n,), i32).at[
+        jnp.where(occupied == 1, n, free_rank)].set(idx, mode="drop")
+    dead = ~live_n
+    dcum = (jnp.cumsum(dead) - dead).astype(i32)
+    out_dead = free[jnp.minimum(dcum, n - 1)]
+
+    out_pos = jnp.where(stay, out_stay, jnp.where(dead, out_dead, n))
+    perm = jnp.zeros((n,), i32).at[out_pos].set(idx, mode="drop")
+    perm = perm.at[out_mov].set(ms_s, mode="drop")
+    return perm, ovf.astype(jnp.int32)
+
+
 def build_neighbors(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
                     params: SimParams) -> Neighbors:
     """Build the (N, K) neighbor list from cell-sorted positions.

@@ -82,6 +82,13 @@ class DmaPairEnv(struct.PyTreeNode):
     # (zeroed particle records — corruption, not just missed candidates);
     # kept separately so diagnostics can tell the two apart
     sort_overflow: jnp.ndarray = None
+    # layout snapshot for the NEXT step's incremental sort permutation
+    # (params.sort_incremental): the exact cell ids this layout was sorted
+    # by + their occurrence tables (neighbors.py
+    # incremental_plane_padded_permutation)
+    cells_sorted: jnp.ndarray = None
+    t_start: jnp.ndarray = None
+    t_end: jnp.ndarray = None
 
     # static config riders (stored as leaves would break jit; recompute)
     n: int = struct.field(pytree_node=False, default=0)
@@ -283,8 +290,12 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
 
     wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 2 * 3 * R_CAP * 2)
     wtab = jnp.pad(wtab, ((0, nsb_pad - NSB), (0, 0)))
+    keep_layout = params.sort_incremental and not params.spmd_axis
     return DmaPairEnv(meta_pack=meta, wtab=wtab, overflow=overflow,
-                      n=n, su=SU, group=G)
+                      n=n, su=SU, group=G,
+                      cells_sorted=cells_sorted if keep_layout else None,
+                      t_start=t_start if keep_layout else None,
+                      t_end=t_end if keep_layout else None)
 
 
 def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,

@@ -72,10 +72,18 @@ def sort_state(state: SimState, params: SimParams,
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
+    inc_ovf = jnp.int32(0)
     if params.resolved_pair_backend() == "pallas_dma":
         # plane-padded layout: sub-blocks never cross x-planes, which keeps
         # the DMA engine's rectangle hulls compact (ops/neighbors.py)
-        perm = nblib.plane_padded_permutation(cells, params)
+        prev = state.cached_neighbors
+        if (params.sort_incremental and not exact and not params.spmd_axis
+                and prev is not None
+                and getattr(prev, "cells_sorted", None) is not None):
+            perm, inc_ovf = nblib.incremental_plane_padded_permutation(
+                cells, prev.cells_sorted, prev.t_start, prev.t_end, params)
+        else:
+            perm = nblib.plane_padded_permutation(cells, params)
     else:
         perm = nblib.sort_permutation(cells)
 
@@ -103,7 +111,7 @@ def sort_state(state: SimState, params: SimParams,
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p), cells[perm], overflow
+    return state.replace(particles=p), cells[perm], overflow + inc_ovf
 
 
 def produces_output(p: ParticleState, rigid: RigidState,

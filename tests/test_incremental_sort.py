@@ -1,0 +1,160 @@
+"""Incremental plane-padded sort permutation (params.sort_incremental).
+
+Validates the argsort-free permutation build against the argsort-based
+layout invariants, its overflow accounting, and end-to-end physics parity
+with the default path.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sph_project_tpu.core.params import make_params
+from sph_project_tpu.ops import neighbors as nb
+from sph_project_tpu.ops.pair_dma import _occurrence_table
+
+
+def _params(n, dim=3):
+    return make_params(n, dim=dim, particle_radius=0.01,
+                       domain_start=(0.0,) * dim,
+                       domain_end=(0.4, 0.3, 0.5)[:dim],
+                       neighbor_cap=96, cell_cap=24, build_chunk=256)
+
+
+def validate_layout(cells_sorted, params):
+    """The invariants every plane-padded layout must satisfy (what the env
+    builder and the DMA engine rely on): live runs per x-plane are
+    contiguous, cell-ascending, and start at 64-aligned bases."""
+    cs = np.asarray(cells_sorted)
+    n = cs.shape[0]
+    ncells = params.num_cells
+    g = params.grid_num
+    plane_stride = int(np.prod(g[1:]))
+    live = cs < ncells
+    # ascending cell ids over live slots in slot order
+    lv = cs[live]
+    assert (np.diff(lv) >= 0).all(), "live cells not ascending"
+    # per-plane contiguity at 64-aligned padded bases
+    planes = lv // plane_stride
+    base = 0
+    for x in range(g[0]):
+        cnt = int((planes == x).sum())
+        if cnt:
+            slots = np.nonzero(live & (cs // plane_stride == x))[0]
+            assert slots[0] == base, f"plane {x} starts at {slots[0]} != {base}"
+            assert (np.diff(slots) == 1).all(), f"plane {x} not contiguous"
+        base += (cnt + nb.PLANE_PAD - 1) // nb.PLANE_PAD * nb.PLANE_PAD
+    assert base <= n
+
+
+def _mutate(rng, cells_old_sorted, params, frac_move=0.03, frac_flip=0.01):
+    """New cell ids per slot: a few crossers, a few activations/kills."""
+    cs = np.asarray(cells_old_sorted).copy()
+    n = cs.shape[0]
+    ncells = params.num_cells
+    live = cs < ncells
+    mv = rng.random(n) < frac_move
+    cs_new = cs.copy()
+    # crossers: live particles jump to a random cell
+    sel = live & mv
+    cs_new[sel] = rng.integers(0, ncells, size=int(sel.sum()))
+    # kills: live -> sentinel; activations: dead -> random cell
+    flip = rng.random(n) < frac_flip
+    cs_new[live & flip] = ncells
+    dead = ~live
+    cs_new[dead & flip] = rng.integers(0, ncells, size=int((dead & flip).sum()))
+    return jnp.asarray(cs_new)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_incremental_matches_layout_invariants(seed):
+    rng = np.random.default_rng(seed)
+    params = _params(900)
+    n = params.n_pad
+    cells0 = jnp.asarray(
+        np.where(rng.random(n) < 0.8,
+                 rng.integers(0, params.num_cells, size=n),
+                 params.num_cells).astype(np.int32))
+    perm0 = nb.plane_padded_permutation(cells0, params)
+    cells_old = cells0[perm0]
+    validate_layout(cells_old, params)
+    t_start, t_end = _occurrence_table(cells_old, params.num_cells)
+
+    cells_new = _mutate(rng, cells_old, params)
+    perm, ovf = nb.incremental_plane_padded_permutation(
+        cells_new, cells_old, t_start, t_end, params)
+    assert int(ovf) == 0
+    # bijection
+    p = np.sort(np.asarray(perm))
+    np.testing.assert_array_equal(p, np.arange(n))
+    # resulting layout satisfies every plane-padding invariant
+    validate_layout(cells_new[perm], params)
+    # same live multiset as the argsort-based layout
+    ref = np.sort(np.asarray(cells_new[nb.plane_padded_permutation(
+        cells_new, params)]))
+    got = np.sort(np.asarray(cells_new[perm]))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_incremental_overflow_is_loud():
+    # the crosser budget is max(4096, n//4): n must exceed 4096 movers
+    rng = np.random.default_rng(3)
+    params = _params(9000)
+    n = params.n_pad
+    cells0 = jnp.asarray(
+        rng.integers(0, params.num_cells, size=n).astype(np.int32))
+    perm0 = nb.plane_padded_permutation(cells0, params)
+    cells_old = cells0[perm0]
+    t_start, t_end = _occurrence_table(cells_old, params.num_cells)
+    # shift EVERY particle to a new cell: movers >> n//4 budget
+    cells_new = (cells_old + 1) % params.num_cells
+    _, ovf = nb.incremental_plane_padded_permutation(
+        cells_new, cells_old, t_start, t_end, params)
+    assert int(ovf) > 0
+
+
+@pytest.mark.slow
+def test_incremental_sort_end_to_end_physics():
+    """10 dam-break steps with sort_incremental on vs off: same physics
+    (intra-cell summation order differs, so tolerance not bit-equality)."""
+    import jax
+    from sph_project_tpu import sim as simlib
+    from sph_project_tpu.scene import load_scene
+    from sph_project_tpu.utils.config import SimConfig
+
+    def cfg():
+        return SimConfig(config={
+            "Configuration": {
+                "domainStart": [0, 0, 0], "domainEnd": [0.5, 0.5, 0.5],
+                "addDomainBox": False, "particleRadius": 0.01,
+                "density0": 1000, "gravitation": [0, -9.81, 0],
+                "simulationMethod": "dfsph", "viscosityMethod": "standard",
+                "timeStepSize": 1e-3, "viscosity": 0.05,
+            },
+            "FluidBlocks": [{
+                "objectId": 0, "start": [0.08, 0.05, 0.08],
+                "end": [0.3, 0.28, 0.3], "translation": [0, 0, 0],
+                "scale": [1, 1, 1], "velocity": [0, 0, 0],
+                "density": 1000.0, "color": [0, 0, 0], "entryTime": -1.0}],
+        })
+
+    def run(incremental):
+        scene, state = load_scene(config=cfg(), pair_backend="pallas_dma",
+                                  sort_incremental=incremental)
+        sim = simlib.Simulation(scene, state)
+        diag = None
+        for _ in range(10):
+            diag = sim.step()
+        assert int(diag["neighbor_overflow"]) == 0
+        p = sim.state.particles
+        live = np.asarray(p.material) != 0
+        pos = np.asarray(p.pos)[live]
+        return pos[np.lexsort(pos.T)]
+
+    a = run(False)
+    b = run(True)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
+
+
+if __name__ == "__main__":
+    test_incremental_matches_layout_invariants(0)
