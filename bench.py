@@ -92,9 +92,17 @@ def main():
     ap.add_argument("--allow-overflow", type=int, default=0,
                     help="tolerated per-step overflow (diagnostic runs only; "
                          "taints the metric name)")
+    ap.add_argument("--sort-incremental", action="store_true",
+                    help="A/B: build sort permutations incrementally "
+                         "(params.sort_incremental)")
     args = ap.parse_args()
 
     import jax
+    # the TPU plugin swallows the JAX_PLATFORMS env var — honor it through
+    # jax.config so CPU smoke runs don't hang on a down tunnel (ROADMAP gotcha)
+    platform = os.environ.get("JAX_PLATFORMS")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from sph_project_tpu import sim as simlib
@@ -108,6 +116,10 @@ def main():
         kw = {"pair_backend": args.backend} if args.backend else {}
         scene, state = load_scene(args.scene, **kw)
         workload = os.path.basename(args.scene)
+    if args.sort_incremental:
+        import dataclasses
+        scene.params = dataclasses.replace(scene.params, sort_incremental=True)
+        workload += " +inc-sort"
     params = scene.params
     n_fluid = sum(o.particle_num for o in scene.objects
                   if o.material == MATERIAL_FLUID)
