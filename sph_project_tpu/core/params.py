@@ -101,6 +101,13 @@ class SimParams:
 
     # rigid contact model (replaces Bullet; see rigid/integrator.py)
     has_rigid: bool = True                 # static: scene contains rigid particles
+    # static: any rigid BODY is dynamic. Wall-only scenes (the headline
+    # dam break: fluid + static domain-box shell) skip the whole dynamic
+    # machinery — body integration, per-particle (com, rot) renewal
+    # gathers, per-pass wrench outputs + segment reductions, per-step
+    # pseudo-volume recompute — all of which are masked no-ops for static
+    # geometry (apply_rigid_volume/renew select is_dynamic>0 rows only)
+    has_dynamic_rigid: bool = True
     has_entries: bool = True               # static: deferred entryTime / emitter
     # one-hot MXU permute kernel for the per-step sort; scenes whose deferred
     # entries exceed the kernel's sparse-fix budget use exact gathers instead

@@ -230,6 +230,11 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         any(c["entry"] > 0 for c in chunks)   # emitter flips fluid->rigid too
     if cfg.get_cfg("gravitationUpper") is not None:
         kw["has_rigid"] = True
+    # dynamic-body machinery (integration, renewal, wrenches, per-step
+    # pseudo-volumes) only runs when a rigid BODY can move; emitter
+    # placeholders advect inside update_fluid_position and never read it
+    kw["has_dynamic_rigid"] = any(
+        c["material"] == MATERIAL_RIGID and c["dynamic"] for c in chunks)
     kw["has_entries"] = any(c["entry"] > 0 for c in chunks) or \
         cfg.get_cfg("gravitationUpper") is not None
     # every dynamic rigid body gets its own exact contact channel (see

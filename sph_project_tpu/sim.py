@@ -207,7 +207,10 @@ class Plumbing:
         p, rigid = state.particles, state.rigid
 
         shape_matching = params.rigid_solver == "shape_matching"
-        if params.has_rigid:
+        # static-only rigid scenes (e.g. fluid + domain-box walls) skip body
+        # integration and the per-particle (com, rot) renewal gathers
+        # entirely — both are masked no-ops when no body is dynamic
+        if params.has_rigid and params.has_dynamic_rigid:
             if shape_matching:
                 # particles integrate freely here, so body-level impulses
                 # don't apply; DEM springs feed the free integration instead
@@ -227,7 +230,7 @@ class Plumbing:
         state = state.replace(particles=p, rigid=rigid)
         state = Plumbing.activate_entries(state, params)
         p, rigid = state.particles, state.rigid
-        if params.has_rigid and not shape_matching:
+        if params.has_rigid and params.has_dynamic_rigid and not shape_matching:
             # shape matching already placed its particles; the (com, rot)
             # renewal is the integrator-backend path (base_solver.py:615-629)
             p = common.renew_rigid_particle_state(p, rigid, params)
@@ -241,8 +244,10 @@ class Plumbing:
         state = Plumbing.rigid_mid(state, env, params)
         p = state.particles
         p = common.enforce_domain_boundary(p, params, MATERIAL_FLUID)
-        if params.has_rigid:
-            # positions moved since the sort: re-slab them (+ object ids)
+        if params.has_dynamic_rigid:
+            # positions moved since the sort: re-slab them (+ object ids).
+            # Static-only scenes keep prepare-time volumes (apply is a
+            # no-op for is_dynamic==0 rows)
             fresh = pairs.slab_pack(env, {"pos": p.pos,
                                           "object_id": p.object_id})
             sl = dict(sl, object_id=fresh["object_id"])

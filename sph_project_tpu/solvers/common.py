@@ -279,7 +279,7 @@ def viscosity_acceleration_standard(
                 cx.where(rigid_j, coef_b, 0.0)) * gw
         out = {f"acc{d}": cx.sum(coef * R[d], mask) for d in range(dim)}
 
-        if params.has_rigid:
+        if params.has_dynamic_rigid:
             # wrench accumulated on the RIGID row r (pair symmetry;
             # base_solver.py:272-278)
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
@@ -292,16 +292,20 @@ def viscosity_acceleration_standard(
         return out
 
     rho_i_safe = jnp.where(p.density > 0, p.density, 1.0)
-    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
+    fields = {"pos": p.pos, "vel": vel, "mass": p.mass,
+              "rest_volume": p.rest_volume, "rho_i_safe": rho_i_safe}
+    if params.has_dynamic_rigid:
+        fields["rigid_dyn"] = (
+            (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+        ).astype(jnp.int32)
     out = pair_exec.run(
         kern, env,
         {"vel": vel_slab, "material": sl["material"], "density": sl["density"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"]},
-        {"pos": p.pos, "vel": vel, "mass": p.mass, "rest_volume": p.rest_volume,
-         "rho_i_safe": rho_i_safe, "rigid_dyn": rigid_dyn}, params)
+        fields, params)
     fluid_i = p.material == MATERIAL_FLUID
     a = jnp.where(fluid_i[:, None], out["acc"] / params.density0, 0.0)
-    if not params.has_rigid:
+    if not params.has_dynamic_rigid:
         return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
@@ -351,7 +355,7 @@ def nonpressure_fused(
         for d in range(dim):
             out[f"acc{d}"] = cx.sum(coef * R[d], mask)
 
-        if params.has_rigid:
+        if params.has_dynamic_rigid:
             # viscosity wrench on the rigid row (base_solver.py:272-278)
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
                 (cx.blk("rigid_dyn") > 0)
@@ -365,19 +369,22 @@ def nonpressure_fused(
     inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
     inv_rho_slab = jax.tree.map(
         lambda rho: 1.0 / jnp.where(rho > 0, rho, 1.0), sl["density"])
-    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
+    fields = {"pos": p.pos, "vel": p.vel, "mass": p.mass,
+              "rest_volume": p.rest_volume, "inv_rho": inv_rho}
+    if params.has_dynamic_rigid:
+        fields["rigid_dyn"] = (
+            (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+        ).astype(jnp.int32)
     out = pair_exec.run(
         kern, env,
         {"vel": sl["vel"], "material": sl["material"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
          "inv_rho": inv_rho_slab},
-        {"pos": p.pos, "vel": p.vel, "mass": p.mass,
-         "rest_volume": p.rest_volume, "inv_rho": inv_rho,
-         "rigid_dyn": rigid_dyn}, params)
+        fields, params)
     fluid_i = (p.material == MATERIAL_FLUID)[:, None]
     a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
     a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
-    if not params.has_rigid:
+    if not params.has_dynamic_rigid:
         return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
@@ -407,15 +414,12 @@ def pressure_acceleration(
         pressure_slab = sl["pressure"]
     dim = params.dim
     O = params.max_objects
-    obj = jnp.clip(p.object_id, 0, O - 1)
-    com_self = rigid.com[obj]
     p_rho2 = pressure / jnp.maximum(p.density * p.density, 1e-12)
     # hoist p/rho^2 to slab level: one elementwise op on the (NB, 9S) slabs
     # instead of a division per (block x window) pair (~B=256x more work)
     p_rho2_slab = jax.tree.map(
         lambda pr, rho: pr / jnp.maximum(rho * rho, 1e-12),
         pressure_slab, sl["density"])
-    rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
 
     def kern(cx):
         # p/rho^2 is slabbed per particle — no per-pair divisions
@@ -448,13 +452,19 @@ def pressure_acceleration(
                 out[f"tpp{d}"] = cx.sum(tq[d], pair_ok)
         return out
 
+    fields = {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume}
+    if with_wrench:
+        obj = jnp.clip(p.object_id, 0, O - 1)
+        fields["com"] = rigid.com[obj]
+        fields["rigid_dyn"] = (
+            (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+        ).astype(jnp.int32)
     out = pair_exec.run(
         kern, env,
         {"material": sl["material"],
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
          "p_rho2": p_rho2_slab},
-        {"pos": p.pos, "p_rho2": p_rho2, "rest_volume": p.rest_volume,
-         "rigid_dyn": rigid_dyn, "com": com_self}, params)
+        fields, params)
     fluid_i = p.material == MATERIAL_FLUID
     a = jnp.where((fluid_i & (p.is_dynamic > 0))[:, None], out["acc"], 0.0)
     if not with_wrench:

@@ -113,9 +113,12 @@ def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
                "cnt": cx.sum(jnp.ones_like(d2), mask)}
         for d in range(dim):
             out[f"vec{d}"] = cx.sum(c * R[d], mask)
-        if params.has_rigid:
+        if params.has_dynamic_rigid:
             # same-object kernel sum for rigid pseudo-volumes
-            # (compute_rigid_particle_volume's kern; base_solver.py:105-123)
+            # (compute_rigid_particle_volume's kern; base_solver.py:105-123).
+            # Static-only rigid scenes skip it: apply_rigid_volume writes
+            # is_dynamic>0 rows only, so the per-step recompute is a no-op
+            # there (walls keep their prepare-time volumes)
             same = cx.slab("object_id") == cx.blk("object_id")
             out["svol"] = cx.sum(cx.where(same, W, 0.0), mask)
         return out
@@ -123,7 +126,7 @@ def density_alpha_divergence(p: ParticleState, env: PairEnv, sl: dict,
     slabs = {"rest_volume": sl["rest_volume"], "material": sl["material"],
              "vel": slab_pack(env, {"v": p.vel})["v"]}
     fields = {"pos": p.pos, "vel": p.vel}
-    if params.has_rigid:
+    if params.has_dynamic_rigid:
         slabs["object_id"] = sl["object_id"]
         fields["object_id"] = p.object_id
     out = pair_exec.run(kern, env, slabs, fields, params)
@@ -214,7 +217,7 @@ def _correction(
         out = {f"dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
                for d in range(dim)}
 
-        if params.has_rigid:
+        if params.has_dynamic_rigid:
             # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
             pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
                 (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
@@ -227,15 +230,18 @@ def _correction(
         return out
 
     k_rho = kappa / jnp.maximum(p.density, 1e-12)
+    fields = {"pos": p.pos, "kappa": kappa, "k_rho": k_rho,
+              "rest_volume": p.rest_volume}
+    if params.has_dynamic_rigid:
+        fields["rigid_dyn"] = rigid_dyn
     out = pair_exec.run(
         kern, env,
         {"rest_volume": sl["rest_volume"], "material": sl["material"],
          "kappa": kappa_slab, "k_rho": k_rho},
-        {"pos": p.pos, "kappa": kappa, "k_rho": k_rho,
-         "rest_volume": p.rest_volume, "rigid_dyn": rigid_dyn}, params)
+        fields, params)
     fluid_i = p.material == MATERIAL_FLUID
     dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
-    if not params.has_rigid:
+    if not params.has_dynamic_rigid:
         return dv, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     arm = p.pos - rigid.com[obj]
@@ -361,7 +367,7 @@ def segment_b(state: SimState, params: SimParams, plumbing
     sl["density"] = slab_pack(env, {"d": dens})["d"]
     p, rigid, itr_v, err_v = correct_divergence_error(
         p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
-    if params.has_rigid:
+    if params.has_dynamic_rigid:
         p = common.apply_rigid_volume(p, svol, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha,
@@ -403,7 +409,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
         p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
-    if params.has_rigid:
+    if params.has_dynamic_rigid:
         p = common.apply_rigid_volume(p, svol, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=env,

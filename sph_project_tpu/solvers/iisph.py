@@ -185,7 +185,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     sl["pressure"] = slab_pack(env, {"pr": pressure})["pr"]
 
     acc, rf, rt = common.pressure_acceleration(
-        p, rigid, env, sl, params, with_wrench=params.has_rigid)
+        p, rigid, env, sl, params, with_wrench=params.has_dynamic_rigid)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
     p = common.update_fluid_velocity(p, params)

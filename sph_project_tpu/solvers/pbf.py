@@ -135,7 +135,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     p = p.replace(vel=jnp.where(fluid, (p.pos - old_pos) / params.dt, p.vel))
 
     # base step wrapper tail (base_solver.py:692-696) still runs for PBF
-    if params.has_rigid:
+    # (dynamic bodies only: apply_rigid_volume is a no-op for static walls)
+    if params.has_dynamic_rigid:
         fresh = slab_pack(env, {"x": p.pos, "object_id": p.object_id})
         sl["object_id"] = fresh["object_id"]
         p = common.compute_rigid_particle_volume(p, env, sl, params,

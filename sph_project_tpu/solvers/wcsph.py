@@ -43,7 +43,7 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     up = slab_pack(env, {"d": p.density, "pr": p.pressure})
     sl["density"], sl["pressure"] = up["d"], up["pr"]
     acc, rf, rt = common.pressure_acceleration(
-        p, rigid, env, sl, params, with_wrench=params.has_rigid)
+        p, rigid, env, sl, params, with_wrench=params.has_dynamic_rigid)
     p = p.replace(acc=acc)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
 
