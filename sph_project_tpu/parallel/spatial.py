@@ -155,10 +155,11 @@ class SpatialPlumbing(simlib.Plumbing):
         cells = jnp.where((pos_i >= n_ext - H) & (idx == D - 1),
                           params.num_cells, cells)
 
-        obj = jnp.clip(ext["object_id"], 0, params.max_objects - 1)
-        dyn_rigid_body = (ext["is_dynamic"] > 0) & \
-            (state.rigid.obj_material[obj] == MATERIAL_RIGID)
-        produces = (ext["material"] == MATERIAL_FLUID) | dyn_rigid_body
+        produces = ext["material"] == MATERIAL_FLUID
+        if params.has_dynamic_rigid:
+            obj = jnp.clip(ext["object_id"], 0, params.max_objects - 1)
+            produces = produces | ((ext["is_dynamic"] > 0) & (
+                state.rigid.obj_material[obj] == MATERIAL_RIGID))
         # halo rows compute on their owner device, not here
         owned = (pos_i >= H) & (pos_i < n_ext - H)
         produces = produces & owned

@@ -121,6 +121,10 @@ def produces_output(p: ParticleState, rigid: RigidState,
     and neither do emitter placeholders (dynamic rigid slots of a
     FLUID-material object above g_upper — they advect ballistically until
     they convert; base_solver.py:660-666)."""
+    if not params.has_dynamic_rigid:
+        # no dynamic bodies -> only fluid rows are ever read (saves the
+        # per-step (N,)-gather from the object table)
+        return p.material == MATERIAL_FLUID
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     dyn_rigid_body = (p.is_dynamic > 0) & \
         (rigid.obj_material[obj] == MATERIAL_RIGID)
