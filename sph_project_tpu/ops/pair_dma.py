@@ -195,8 +195,58 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
 
     ylo, yhi, zlo, zhi = hulls(cmin, cmax)                # (NSb,) DMA unions
     ylo_h, yhi_h, zlo_h, zhi_h = hulls(hmin, hmax)        # (NSh,) compute
-    rcnt_h = jnp.where(empty_h, 0,
-                       jnp.minimum(yhi_h - ylo_h + 1, R_CAP))     # (NSh,)
+
+    # ---- per-half-block row slots: OCCUPIED rows only ----------------------
+    # Enumerating every row of the y-hull makes a sparse spray half-block
+    # (few particles scattered over many y-rows) scan its whole hull span;
+    # instead enumerate only the rows a particle actually needs (its own row
+    # +-1), merging runs whose neighborhoods touch. Dense blocks reduce to
+    # exactly the old hull rows. Rows beyond R_CAP still merge into the last
+    # slot (fatter scanning, never lost physics). Exploits the sort order:
+    # within a half-block (single x-plane) live y is non-decreasing.
+    if dim == 3:
+        g1 = gi[1]
+        yh2 = coords[:, 1].reshape(NSh, HB)
+        occ = produces.reshape(NSh, HB)
+        prev = jnp.concatenate(
+            [jnp.full((NSh, 1), -big, jnp.int32),
+             jax.lax.cummax(jnp.where(occ, yh2, -big), axis=1)[:, :-1]],
+            axis=1)
+        gap = jnp.where(occ, yh2 - prev, 0)     # 0 for non-producing slots
+        # candidate rows y-1/y/y+1; a candidate is NEW iff not already
+        # covered by the previous occupied row's neighborhood (prev+1)
+        vals = jnp.stack([yh2 - 1, yh2, yh2 + 1], axis=2)      # (NSh, HB, 3)
+        newr = jnp.stack([(gap >= 3) & (yh2 - 1 >= 0),
+                          gap >= 2,
+                          (gap >= 1) & (yh2 + 1 <= g1 - 1)], axis=2)
+        cnt = jnp.sum(newr.astype(jnp.int32), axis=2)          # (NSh, HB)
+        base = jnp.cumsum(cnt, axis=1) - cnt                   # exclusive
+        rank = jnp.stack(
+            [base, base + newr[:, :, 0],
+             base + newr[:, :, 0] + newr[:, :, 1]], axis=2)    # (NSh, HB, 3)
+        m_rows = base[:, -1] + cnt[:, -1]
+        rcnt_h = jnp.minimum(m_rows, R_CAP).astype(jnp.int32)  # (NSh,)
+        ks = jnp.arange(R_CAP, dtype=jnp.int32)                # (R,)
+        rf = rank.reshape(NSh, HB * 3, 1)
+        vf = vals.reshape(NSh, HB * 3, 1)
+        of = newr.reshape(NSh, HB * 3, 1)
+        # > R_CAP needed rows: distribute them EVENLY over the slots
+        # (contiguous runs of ceil(m/R_CAP) rows each) instead of 7 single
+        # rows + one fat tail — bounds the worst slot's row span, and slot
+        # boundaries falling on y-gaps skip the cells in between
+        mr = jnp.maximum(m_rows, 1)[:, None, None]
+        slot_of = jnp.where(m_rows[:, None, None] > R_CAP,
+                            rf * R_CAP // mr, rf)
+        hit = of & (slot_of == ks)
+        row_lo = jnp.clip(jnp.min(jnp.where(hit, vf, big), axis=1),
+                          0, g1 - 1)                           # (NSh, R)
+        row_hi = jnp.clip(jnp.max(jnp.where(hit, vf, -big), axis=1),
+                          0, g1 - 1)
+    else:
+        # 2D: the window run axis is z; a single merged slot over the z-hull
+        rcnt_h = jnp.where(empty_h, 0, 1)
+        row_lo = jnp.zeros((NSh, R_CAP), jnp.int32)
+        row_hi = jnp.zeros((NSh, R_CAP), jnp.int32)
 
     # ---- superblock own-plane clusters ------------------------------------
     # sub-blocks of a superblock sharing an own plane form a CONTIGUOUS run
@@ -256,10 +306,8 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     dp = jnp.arange(3, dtype=jnp.int32)[None, :, None] - 1        # (1,3,1)
     r3 = jnp.arange(R_CAP, dtype=jnp.int32)[None, None, :]        # (1,1,R)
     pg = own_h[:, None, None] + dp                                # (NSh,3,R)
-    rg = jnp.minimum(ylo_h[:, None, None] + r3, yhi_h[:, None, None])
-    # last row slot merges the remaining rows into one contiguous range
-    is_last = r3 == (rcnt_h[:, None, None] - 1)
-    rg_hi = jnp.where(is_last, yhi_h[:, None, None], rg)
+    rg = row_lo[:, None, :]                                       # (NSh,1,R)
+    rg_hi = row_hi[:, None, :]
     valid = (~empty_h[:, None, None]) & (pg >= 0) & (pg < gi[0]) & \
         (r3 < rcnt_h[:, None, None]) & (q_half[:, None, None] < Q_CAP)
     w_lo = flat(pg, rg, zlo_h[:, None, None])

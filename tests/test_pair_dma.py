@@ -83,6 +83,37 @@ def test_dma_matches_jax_backend_wcsph():
     np.testing.assert_allclose(results[0], results[1], atol=2e-6)
 
 
+def test_dma_density_matches_bruteforce_spray():
+    """Scattered positions with y-gaps exercise the occupied-row window
+    enumeration (gap-skipping + even slot distribution for deep hulls)."""
+    scene, state = build("pallas_dma")
+    params = scene.params
+    p = state.particles
+    pos = np.asarray(p.pos).copy()
+    act = np.asarray(p.material) == 1
+    rng = np.random.default_rng(7)
+    idx = np.flatnonzero(act)
+    sel = rng.choice(idx, size=len(idx) // 2, replace=False)
+    lo = np.asarray(params.domain_start) + 0.02
+    hi = np.asarray(params.domain_end) - 0.02
+    # dilute cloud: half the particles scattered over the whole domain, so
+    # half-blocks span many y-rows with gaps between occupied rows
+    pos[sel] = rng.uniform(lo, hi, size=(len(sel), 3)).astype(np.float32)
+    state = state.replace(particles=p.replace(pos=pos))
+    state, env = simlib.Plumbing.neighbor_prep(state, params)
+    assert int(env.overflow) == 0
+    p = state.particles
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    dens = np.asarray(common.compute_density(p, env, sl, params))
+    pos_s = np.asarray(p.pos)
+    act_s = np.asarray(p.material) == 1
+    orc = Oracle(pos_s[act_s], np.zeros_like(pos_s[act_s]),
+                 h=params.support_radius, dt=params.dt, v0=params.v0)
+    R, r, mask = orc._pairs()
+    orc.compute_density(R, r, mask)
+    np.testing.assert_allclose(dens[act_s], orc.density, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_dma_matches_jax_backend_dfsph_rigid(tmp_path):
     cube = write_cube_obj(str(tmp_path / "cube.obj"))
