@@ -222,6 +222,26 @@ SCENES = {
         ],
         "FluidBlocks": [fluid_block(0, (0.15, 0.15, 0.15), (2.35, 0.9, 2.35))],
     },
+    # 3D PBF dam break at scale (~468k particles): the 3D counterpart of the
+    # reference's PBF demo (it ships only the 2D tank,
+    # /root/reference/data/scenes/high_fluid_pbf_2d.json) — position-based
+    # fluids run large time steps with a fixed 5-iteration projection
+    # NOTE pbfCorrK=0: at 3D water scale (r=0.01) the reference's s_corr
+    # constants (tuned on its 2D tank, the only PBF it can run) make the
+    # anti-clustering term dominate the density constraint and the fluid
+    # disperses; the constraint projection alone is stable here
+    # (addDomainBox off: the reference's PBF only ever runs against the
+    # domain clamp, PBF.py enforce_domain_boundary — its wall-particle terms
+    # use den_i in the lambda denominator, which runs away under floor
+    # compression)
+    "pbf_3d": {
+        "Configuration": config((4.0, 3.0, 2.0), "pbf", 2.5e-3,
+                                visc=0.0, fps=40.0, total=10.0,
+                                extras={"pbfCorrK": 0.0,
+                                        "addDomainBox": False}),
+        "FluidBlocks": [fluid_block(0, (0.2, 0.2, 0.2), (1.5, 2.0, 1.8),
+                                    vel=(0.0, -1.0, 0.0))],
+    },
     # 2D PBF splash tank
     "pbf_2d": {
         "Configuration": {

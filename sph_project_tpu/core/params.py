@@ -64,6 +64,13 @@ class SimParams:
     iisph_eta: float = 1e-3
     iisph_omega: float = 0.2
     pbf_iters: int = 5
+    # s_corr anti-clustering (PBF.py:12-14 defaults). The reference only
+    # ever runs PBF in 2D (its 3D container allocates size-0 fields); at 3D
+    # water scales (r=0.01) the reference constants make s_corr dominate the
+    # constraint term ~6x and the fluid disperses — 3D scenes can tune or
+    # disable it via Configuration pbfCorrK / pbfCorrDeltaQ
+    pbf_corr_k: float = 0.001
+    pbf_corr_delta_q: float = 0.3
     cg_tol: float = 1e-6
     cg_max_iter: int = 1000
 

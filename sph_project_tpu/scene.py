@@ -109,6 +109,12 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     )
     if (cfg.get_cfg("simulationMethod") or "dfsph") == "pbf":
         kw["kernel_type"] = "poly6"   # PBF overrides the kernels (PBF.py:21-47)
+        ck = cfg.get_cfg("pbfCorrK")
+        if ck is not None:
+            kw["pbf_corr_k"] = ck
+        cq = cfg.get_cfg("pbfCorrDeltaQ")
+        if cq is not None:
+            kw["pbf_corr_delta_q"] = cq
     if dh is not None:
         kw["support_radius"] = dh
     if g_upper is not None:

@@ -26,8 +26,8 @@ from ..ops.pairs import PairEnv, slab_pack
 from . import common
 
 LAMBDA_EPS = 100.0          # PBF.py:12
-CORR_K = 0.001              # PBF.py:13
-CORR_DELTA_Q = 0.3          # PBF.py:14
+# s_corr constants live in params (pbf_corr_k / pbf_corr_delta_q; reference
+# defaults PBF.py:13-14) so 3D scenes can tune them — see params.py note
 
 
 def compute_density_moving(p, pos, pos_slab, env, sl, params):
@@ -85,11 +85,12 @@ def fix_position(p, lam, lam_slab, dens, pos, pos_slab, env, sl, params) -> jnp.
         dist = jnp.sqrt(d2)
         gw = kernels.grad_W_coef(dist, params.support_radius, params.dim,
                                  params.kernel_type)
-        w_q = kernels.W(jnp.float32(CORR_DELTA_Q * params.support_radius),
+        w_q = kernels.W(jnp.float32(params.pbf_corr_delta_q *
+                                    params.support_radius),
                         params.support_radius, params.dim, params.kernel_type)
         ratio = kernels.W(dist, params.support_radius, params.dim,
                           params.kernel_type) / jnp.maximum(w_q, 1e-30)
-        scorr = -CORR_K * ratio ** 4
+        scorr = -params.pbf_corr_k * ratio ** 4
         mat_j = cx.slab("material")
         fluid_j = mask & (mat_j == MATERIAL_FLUID)
         rigid_j = mask & (mat_j == MATERIAL_RIGID)

@@ -55,12 +55,17 @@ _RUNS = {}
 def settled(method, dt=5e-4, steps=40):
     key = (method, dt, steps)
     if key not in _RUNS:
-        _RUNS[key] = run_steps(dam_break_cfg(method, dt=dt), steps)
+        # 3D PBF runs the shipped pbf_3d parameterization: s_corr off (the
+        # reference constants are 2D-tuned and disperse 3D water; see
+        # params.pbf_corr_k note)
+        extra = {"pbfCorrK": 0.0} if method == "pbf" else None
+        _RUNS[key] = run_steps(dam_break_cfg(method, dt=dt, extra=extra),
+                               steps)
     return _RUNS[key]
 
 
 @pytest.mark.parametrize("method", [
-    "wcsph", "dfsph", "pcisph",
+    "wcsph", "dfsph", "pcisph", "pbf",
     # IISPH compiles the slowest relaxed-Jacobi loop; covered in the slow tier
     pytest.param("iisph", marks=pytest.mark.slow)])
 def test_dam_break_settles(method):

@@ -53,4 +53,13 @@ run_item nine_rigid 7200 python run_simulation.py --scene_file data/scenes/coupl
 # 7. full-scale 2.25M buckling emitter, bounded run (VERDICT #8)
 run_item emitter_2p25m 7200 python run_simulation.py --scene_file data/scenes/buckling_emitter.json --steps 100 --no-export
 
+# 7b. refreshed dragon-bath coupling number after round-3 fusions
+run_item dragon_bath 5400 python run_simulation.py --scene_file data/scenes/dragon_bath_dfsph.json --steps 120 --no-export
+
+# 8. full-scale implicit-viscosity scene (ROADMAP scene coverage)
+run_item high_visc 5400 python run_simulation.py --scene_file data/scenes/high_viscosity_implicit.json --steps 200 --no-export
+
+# 9. 3D PBF at scale (468k)
+run_item pbf_3d 5400 python run_simulation.py --scene_file data/scenes/pbf_3d.json --steps 200 --no-export
+
 note "QUEUE DONE"
