@@ -63,18 +63,22 @@ R_CAP = 8      # row slots per half-block (y-hull width cap; last slot merges
                # any remaining rows into one contiguous range, so deep
                # y-hulls degrade to fatter scanning, never lost physics)
 
-# meta row column offsets (one (128,) i32 row per superblock)
+# meta row column offsets (one (256,) i32 row per superblock)
 OFF_USTART = 0           # Q_CAP*3 entries: per-(cluster, dp) union start
 OFF_UTILES = 24          # Q_CAP*3 entries: per-(cluster, dp) DMA tile count
 OFF_DST = 48             # Q_CAP*3 entries: per-slot VMEM lane offset
 OFF_RCNT = 72            # G*2 entries: row-slot count per half-block
 OFF_QIDX = 88            # G entries: sub-block cluster index
+OFF_NTOT = 96            # 1 entry: total DMA tiles this superblock
+OFF_TSRC = 97            # TSRC_CAP entries: flattened per-tile HBM source
+TSRC_CAP = 159           # (tile i lands at VMEM lane i*DT by construction)
+META_W = 256
 
 
 class DmaPairEnv(struct.PyTreeNode):
     """Window metadata for the DMA engine (all device arrays)."""
 
-    meta_pack: jnp.ndarray   # (NSB_pad8, 128) i32 — per-superblock row
+    meta_pack: jnp.ndarray   # (NSB_pad8, META_W) i32 — per-superblock row
     wtab: jnp.ndarray        # (NSB_pad8, G*3*R_CAP*2) i32 — [st, en) per
                              # (sub-block, plane slot, row slot)
     overflow: jnp.ndarray    # () i32 — candidates/windows lost to caps
@@ -325,16 +329,34 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
     trunc = jnp.sum(jnp.where(valid, jnp.maximum(en - cover, 0), 0))
     overflow = (trunc + lost_q + jnp.sum(multi_plane)).astype(jnp.int32)
 
+    # flattened DMA tile list: tile i of the superblock copies DT lanes from
+    # HBM lane tsrc[i] to VMEM lane i*DT (dst is the cumsum of DT-granular
+    # slot sizes, so tiles pack contiguously) — the kernel issues/waits ONE
+    # flat fori_loop instead of 2 x Q_CAP*3 per-slot loops
+    assert SU // DT <= TSRC_CAP, (
+        f"pair_dma_su {SU} exceeds the {TSRC_CAP}-tile meta budget")
+    u_start_f = u_start.reshape(NSB, Q_CAP * 3)
+    base_t = dst // DT                                    # (NSB, 24)
+    ts = jnp.arange(TSRC_CAP, dtype=jnp.int32)            # (T,)
+    in_slot = (ts[None, None, :] >= base_t[:, :, None]) & \
+        (ts[None, None, :] < (base_t + u_tiles.reshape(NSB, -1))[:, :, None])
+    tsrc = jnp.sum(jnp.where(
+        in_slot,
+        u_start_f[:, :, None] + (ts[None, None, :] - base_t[:, :, None]) * DT,
+        0), axis=1).astype(jnp.int32)                     # (NSB, T)
+    ntot = jnp.sum(u_tiles.reshape(NSB, -1), axis=1).astype(jnp.int32)
+
     nsb_pad = ((NSB + 7) // 8) * 8
-    meta = jnp.zeros((nsb_pad, 128), jnp.int32)
-    meta = meta.at[:NSB, OFF_USTART:OFF_USTART + Q_CAP * 3].set(
-        u_start.reshape(NSB, Q_CAP * 3))
+    meta = jnp.zeros((nsb_pad, META_W), jnp.int32)
+    meta = meta.at[:NSB, OFF_USTART:OFF_USTART + Q_CAP * 3].set(u_start_f)
     meta = meta.at[:NSB, OFF_UTILES:OFF_UTILES + Q_CAP * 3].set(
         u_tiles.reshape(NSB, Q_CAP * 3))
     meta = meta.at[:NSB, OFF_DST:OFF_DST + Q_CAP * 3].set(dst)
     meta = meta.at[:NSB, OFF_RCNT:OFF_RCNT + G * 2].set(
         rcnt_h.reshape(NSB, G * 2))
     meta = meta.at[:NSB, OFF_QIDX:OFF_QIDX + G].set(q_idx_c)
+    meta = meta.at[:NSB, OFF_NTOT].set(ntot)
+    meta = meta.at[:NSB, OFF_TSRC:OFF_TSRC + TSRC_CAP].set(tsrc)
 
     wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 2 * 3 * R_CAP * 2)
     wtab = jnp.pad(wtab, ((0, nsb_pad - NSB), (0, 0)))
@@ -537,32 +559,30 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
     cdma = pltpu.make_async_copy(fmat.at[:, pl.ds(cstart, SB)], cen, csem)
     cdma.start()
 
-    for s in range(Q_CAP * 3):
-        st_u = meta_ref[row, OFF_USTART + s]
-        nt = meta_ref[row, OFF_UTILES + s]
-        dst_s = meta_ref[row, OFF_DST + s]
+    # flat DMA tile list: tile i copies DT lanes from HBM lane tsrc[i] to
+    # VMEM lane i*DT, all on one semaphore — one issue loop + one wait loop
+    # instead of 2 x Q_CAP*3 per-slot fori_loops of scalar bookkeeping
+    ntot = meta_ref[row, OFF_NTOT]
 
-        def issue(t, _, s=s, st_u=st_u, dst_s=dst_s):
-            src = pl.multiple_of(st_u + t * DT, 128)
-            dst = pl.multiple_of(dst_s + t * DT, 128)
-            pltpu.make_async_copy(
-                fmat.at[:, pl.ds(src, DT)],
-                win.at[:, pl.ds(dst, DT)],
-                sem.at[s]).start()
-            return 0
-        jax.lax.fori_loop(0, nt, issue, 0, unroll=False)
+    def issue(t, _):
+        src = pl.multiple_of(meta_ref[row, OFF_TSRC + t], 128)
+        dst = pl.multiple_of(t * DT, 128)
+        pltpu.make_async_copy(
+            fmat.at[:, pl.ds(src, DT)],
+            win.at[:, pl.ds(dst, DT)],
+            sem).start()
+        return 0
+    jax.lax.fori_loop(0, ntot, issue, 0, unroll=False)
 
     cdma.wait()
-    for s in range(Q_CAP * 3):
-        nt = meta_ref[row, OFF_UTILES + s]
 
-        def wdone(t, _, s=s):
-            pltpu.make_async_copy(
-                fmat.at[:, pl.ds(0, DT)],
-                win.at[:, pl.ds(0, DT)],
-                sem.at[s]).wait()
-            return 0
-        jax.lax.fori_loop(0, nt, wdone, 0, unroll=False)
+    def wdone(t, _):
+        pltpu.make_async_copy(
+            fmat.at[:, pl.ds(0, DT)],
+            win.at[:, pl.ds(0, DT)],
+            sem).wait()
+        return 0
+    jax.lax.fori_loop(0, ntot, wdone, 0, unroll=False)
 
     # static sub-block loop: B = 64 center offsets are not 128-lane-aligned,
     # so centers are read in 128-wide pairs (static offsets) and sliced on
@@ -688,7 +708,7 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         kern_fn,
         grid=(NSB,),
         in_specs=[
-            pl.BlockSpec((8, 128), lambda i: (i // 8, 0),
+            pl.BlockSpec((8, META_W), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((8, W), lambda i: (i // 8, 0),
                          memory_space=pltpu.SMEM),
@@ -701,7 +721,7 @@ def run(kern: Callable, env: DmaPairEnv, slabs: Dict, fields: Dict,
         scratch_shapes=[
             pltpu.VMEM((F_pad, SU), jnp.float32),
             pltpu.VMEM((F_pad, SB), jnp.float32),
-            pltpu.SemaphoreType.DMA((Q_CAP * 3,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
