@@ -95,6 +95,11 @@ def main():
     ap.add_argument("--sort-incremental", action="store_true",
                     help="A/B: build sort permutations incrementally "
                          "(params.sort_incremental)")
+    ap.add_argument("--warm-start", action="store_true",
+                    help="A/B: warm-start the DFSPH density corrector from "
+                         "the previous step (params.dfsph_warm_start; same "
+                         "convergence tolerance, fewer passes at settled "
+                         "state)")
     args = ap.parse_args()
 
     import jax
@@ -120,6 +125,11 @@ def main():
         import dataclasses
         scene.params = dataclasses.replace(scene.params, sort_incremental=True)
         workload += " +inc-sort"
+    if args.warm_start:
+        import dataclasses
+        scene.params = dataclasses.replace(scene.params,
+                                           dfsph_warm_start=True)
+        workload += " +warm"
     params = scene.params
     n_fluid = sum(o.particle_num for o in scene.objects
                   if o.material == MATERIAL_FLUID)

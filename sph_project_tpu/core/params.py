@@ -58,6 +58,14 @@ class SimParams:
     dfsph_max_error: float = 1e-4
     dfsph_max_error_v: float = 1e-3
     dfsph_eps: float = 1e-5
+    # warm-start the constant-density corrector from the previous step's
+    # accumulated stiffness (Bender & Koschier, "Divergence-Free SPH" §
+    # warm start; the reference solver is cold every step). Replaces the
+    # star0 probe pass + usually one corrector iteration at settled state;
+    # converges to the SAME tolerance, so physics quality is unchanged but
+    # trajectories differ microscopically from the cold reference algorithm
+    # — default OFF for reference parity. Scene key: dfsphWarmStart.
+    dfsph_warm_start: bool = False
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

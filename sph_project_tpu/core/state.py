@@ -86,6 +86,9 @@ class SimState(struct.PyTreeNode):
     # reference computes them at the *end* of _step for use at the start of
     # the next (DFSPH.py:316-319).
     dfsph_alpha: jnp.ndarray    # (N,) f32
+    # accumulated constant-density stiffness of the previous step's solve —
+    # the dfsph_warm_start carry (zeros when warm start is off)
+    dfsph_kappa: jnp.ndarray    # (N,) f32
     # IISPH's d_ii reads the previous step's advected density for rigid
     # neighbors (IISPH.py:39-44 runs before :212's recompute) — carried here.
     iisph_density_star: jnp.ndarray  # (N,) f32
@@ -133,6 +136,7 @@ def zeros_state(params: SimParams) -> SimState:
         step_count=jnp.zeros((), i),
         visc_x=jnp.zeros((n, d), f),
         dfsph_alpha=jnp.zeros((n,), f),
+        dfsph_kappa=jnp.zeros((n,), f),
         iisph_density_star=jnp.zeros((n,), f),
         cached_neighbors=None,
     )

@@ -115,6 +115,9 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
         cq = cfg.get_cfg("pbfCorrDeltaQ")
         if cq is not None:
             kw["pbf_corr_delta_q"] = cq
+    ws = cfg.get_cfg("dfsphWarmStart")
+    if ws is not None:
+        kw["dfsph_warm_start"] = bool(ws)
     if dh is not None:
         kw["support_radius"] = dh
     if g_upper is not None:

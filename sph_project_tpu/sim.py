@@ -46,6 +46,8 @@ def permuted_keys(params: SimParams) -> tuple:
         extras.append("visc_x")
     if params.simulation_method == "iisph":
         extras.append("iisph_density_star")
+    if params.dfsph_warm_start:
+        extras.append("dfsph_kappa")
     return tuple(keys), tuple(extras)
 
 

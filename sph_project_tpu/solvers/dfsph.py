@@ -261,18 +261,46 @@ def _avg_over_active(x: jnp.ndarray, p: ParticleState,
 def correct_density_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
     env: PairEnv, sl: dict, params: SimParams,
-) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray]:
-    """Constant-density solver (DFSPH.py:225-243)."""
-    vslab0 = slab_pack(env, {"v": p.vel})["v"]
-    star0 = compute_density_star(p, p.vel, vslab0, env, sl, params)
+    kappa0: jnp.ndarray = None,
+) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Constant-density solver (DFSPH.py:225-243).
+
+    ``kappa0`` (params.dfsph_warm_start): the previous step's accumulated
+    stiffness. The warm path applies one correction from 0.5*kappa0 BEFORE
+    the first density probe — replacing the cold star0 pass and usually one
+    corrector iteration at settled state — then iterates to the same
+    tolerance as the cold path. Returns the accumulated stiffness for the
+    next step's warm start (zeros on the cold path)."""
+    fluid_i = p.material == MATERIAL_FLUID
+    vel0 = p.vel
+    rf0 = jnp.zeros_like(rigid.force)
+    rt0 = jnp.zeros_like(rigid.torque)
+    kacc0 = jnp.zeros_like(alpha)
+    itr0 = jnp.int32(0)
+    if kappa0 is not None:
+        kappa_w = jnp.where(fluid_i, jnp.maximum(0.5 * kappa0, 0.0), 0.0)
+        dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
+        vel0 = vel0 + dv
+        rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
+
+    vslab0 = slab_pack(env, {"v": vel0})["v"]
+    star0 = compute_density_star(p, vel0, vslab0, env, sl, params)
+    if kappa0 is not None:
+        # warm path: the loop-entry error is real (the warm correction may
+        # already satisfy the tolerance); cold path keeps the >=1-iteration
+        # floor of the reference
+        err0 = _avg_over_active(
+            star0 - jnp.where(fluid_i, 1.0, 0.0), p, params)
+    else:
+        err0 = jnp.float32(jnp.inf)
 
     def cond(carry):
-        _, _, _, _, itr, err = carry
+        _, _, _, _, itr, err, _ = carry
         return (itr < 1) | ((err > params.dfsph_max_error) &
                             (itr < params.dfsph_max_iter))
 
     def body(carry):
-        vel, star, rf, rt, itr, _ = carry
+        vel, star, rf, rt, itr, _, kacc = carry
         kappa = (star - 1.0) * alpha / params.dt
         ks = slab_pack(env, {"k": kappa})
         dv, f, tq = _correction(p, rigid, kappa, ks["k"], env, sl, params)
@@ -280,15 +308,13 @@ def correct_density_error(
         vs = slab_pack(env, {"v": vel})["v"]
         star = compute_density_star(p, vel, vs, env, sl, params)
         err = _avg_over_active(
-            star - jnp.where(p.material == MATERIAL_FLUID, 1.0, 0.0), p,
-            params)
-        return vel, star, rf + f, rt + tq, itr + 1, err
+            star - jnp.where(fluid_i, 1.0, 0.0), p, params)
+        return vel, star, rf + f, rt + tq, itr + 1, err, kacc + kappa
 
-    init = (p.vel, star0, jnp.zeros_like(rigid.force),
-            jnp.zeros_like(rigid.torque), jnp.int32(0), jnp.float32(jnp.inf))
-    vel, _, rf, rt, itr, err = jax.lax.while_loop(cond, body, init)
+    init = (vel0, star0, rf0, rt0, itr0, err0, kacc0)
+    vel, _, rf, rt, itr, err, kacc = jax.lax.while_loop(cond, body, init)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
-    return p.replace(vel=vel), rigid, itr, err
+    return p.replace(vel=vel), rigid, itr, err, kacc
 
 
 def correct_divergence_error(
@@ -344,11 +370,14 @@ def segment_a(state: SimState, params: SimParams, plumbing
     p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state,
                                                   params)
     p = common.update_fluid_velocity(p, params)
-    p, rigid, itr_d, err_d = correct_density_error(
-        p, rigid, alpha, env, sl, params)
+    p, rigid, itr_d, err_d, kacc = correct_density_error(
+        p, rigid, alpha, env, sl, params,
+        kappa0=state.dfsph_kappa if params.dfsph_warm_start else None)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
+    if params.dfsph_warm_start:
+        state = state.replace(dfsph_kappa=kacc)
     state = plumbing.rigid_mid(state, env, params)
     p = common.enforce_domain_boundary(state.particles, params, MATERIAL_FLUID)
     state = state.replace(particles=p)
@@ -388,11 +417,14 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
 
     p, rigid = plumbing.non_pressure_acceleration(p, rigid, env0, sl0, state, params)
     p = common.update_fluid_velocity(p, params)
-    p, rigid, itr_d, err_d = correct_density_error(
-        p, rigid, state.dfsph_alpha, env0, sl0, params)
+    p, rigid, itr_d, err_d, kacc = correct_density_error(
+        p, rigid, state.dfsph_alpha, env0, sl0, params,
+        kappa0=state.dfsph_kappa if params.dfsph_warm_start else None)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
+    if params.dfsph_warm_start:
+        state = state.replace(dfsph_kappa=kacc)
     state = plumbing.rigid_mid(state, env0, params)
     p, rigid = state.particles, state.rigid
 

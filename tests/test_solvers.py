@@ -107,6 +107,36 @@ def test_dfsph_density_error_within_tolerance():
     assert 1 <= diag["solver_iters"] <= 1000
 
 
+def test_dfsph_warm_start_converges_with_fewer_iterations():
+    """dfsph_warm_start carries the density corrector's stiffness across
+    steps: it must reach the SAME tolerance (physics quality unchanged)
+    with no more cumulative iterations than the cold reference algorithm,
+    and the settled state must stay physically equivalent."""
+    def drive(extra):
+        scene, state = load_scene(config=dam_break_cfg(
+            "dfsph", dt=5e-4, extra=extra), **FAST)
+        sim = simlib.Simulation(scene, state)
+        tot = 0.0
+        for _ in range(30):
+            diag = sim.step()
+            tot += float(diag["solver_iters"])
+        return sim.state, {k: float(v) for k, v in diag.items()}, tot
+
+    s_c, d_c, iters_c = drive(None)
+    s_w, d_w, iters_w = drive({"dfsphWarmStart": True})
+    # same convergence contract as the cold solver (DFSPH.py:20 tolerance)
+    assert d_w["solver_err"] <= 0.1 + 1e-6
+    assert d_w["neighbor_overflow"] == 0
+    f = np.asarray(s_w.particles.material) == 1
+    assert np.isfinite(np.asarray(s_w.particles.pos)[f]).all()
+    # the warm start exists to SAVE work: cumulative corrector iterations
+    # (the warm pre-correction counts as one) must not exceed cold's
+    assert iters_w <= iters_c
+    # settled bulk density in the same band as cold
+    assert abs(d_w["density_max"] - d_c["density_max"]) < \
+        0.15 * max(d_c["density_max"], 1.0)
+
+
 def test_wcsph_eos_and_density_clamp():
     _, state, _ = settled("wcsph")
     p = state.particles

@@ -47,6 +47,13 @@ run_item bench_scene 5400 python bench.py --verbose
 # 5. incremental-sort A/B at the headline scene
 run_item inc_scene 5400 python bench.py --sort-incremental --verbose
 
+# 5b. DFSPH warm-start A/B at the headline scene (saves the star0 probe
+#     pass + settled corrector iterations; same convergence tolerance)
+run_item warm_scene 5400 python bench.py --warm-start --verbose
+
+# 5c. combined candidate default: warm start + incremental sort
+run_item warm_inc_scene 5400 python bench.py --warm-start --sort-incremental --verbose
+
 # 6. nine-rigid coupling demo, 300 steps (VERDICT #2 done-criterion)
 run_item nine_rigid 7200 python run_simulation.py --scene_file data/scenes/coupling_nine_rigid.json --steps 300 --no-export
 
