@@ -30,6 +30,11 @@ run_item() {
     tail -5 "$LOG/$name.log" | sed 's/^/    /' | tee -a "$LOG/queue.log"
     sleep 900
   fi
+  # persist results into the repo so a later session finds them even if
+  # /tmp is cleaned (directory is gitignored-by-absence; never committed
+  # automatically)
+  mkdir -p /root/repo/.hwq_results
+  cp "$LOG/$name.log" "$LOG/queue.log" /root/repo/.hwq_results/ 2>/dev/null
 }
 
 # 1. chip + code sanity at 400k (fast; compile mostly cached)
