@@ -314,57 +314,81 @@ def viscosity_acceleration_standard(
     return a, force, torque
 
 
+def _nonpressure_outputs(cx, params: SimParams) -> dict:
+    """Kernel-body fragment: surface tension sums ``st{d}``, viscosity sums
+    ``acc{d}`` and (dynamic rigids) viscosity wrench sums ``fpp{d}``.
+    Factored out so other passes (e.g. the DFSPH warm-start correction) can
+    ride the same kernel (slab/block names: vel, material, mass, rest_volume,
+    inv_rho, rigid_dyn)."""
+    d2c = 2.0 * (params.dim + 2)
+    diam = params.particle_diameter
+    dim = params.dim
+    R, d2, mask = cx.geometry()
+    gw = _gw_coef(d2, params)
+    mat_j = cx.slab("material")
+    fluid_j = mask & (mat_j == MATERIAL_FLUID)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID)
+
+    # surface tension (fluid neighbors only; base_solver.py:209-229)
+    w_dm = kernels.W(jnp.float32(diam), params.support_radius,
+                     params.dim, params.kernel_type)
+    Wst = cx.where(d2 > diam * diam, _w_d2(d2, params), w_dm)
+    mW = cx.slab("mass") * Wst
+    out = {f"st{d}": cx.sum(cx.where(fluid_j, mW * R[d], 0.0), fluid_j)
+           for d in range(dim)}
+
+    # standard viscosity (base_solver.py:231-278)
+    vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
+    v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
+    denom = d2 + 0.01 * params.support_radius ** 2
+    inv_denom = 1.0 / denom
+    inv_rho_j = cx.slab("inv_rho")          # hoisted per-particle 1/rho
+    m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
+    coef_f = d2c * params.viscosity * m_ij * inv_rho_j * inv_denom * v_xy
+    m_b = params.density0 * cx.slab("rest_volume")
+    coef_b = d2c * params.viscosity_b * m_b * cx.blk("inv_rho") * \
+        inv_denom * v_xy
+    coef = (cx.where(fluid_j, coef_f, 0.0) +
+            cx.where(rigid_j, coef_b, 0.0)) * gw
+    for d in range(dim):
+        out[f"acc{d}"] = cx.sum(coef * R[d], mask)
+
+    if params.has_dynamic_rigid:
+        # viscosity wrench on the rigid row (base_solver.py:272-278)
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+            (cx.blk("rigid_dyn") > 0)
+        c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
+            cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
+        c = cx.where(pair_ok, c, 0.0)
+        for d in range(dim):
+            out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
+    return out
+
+
+def _nonpressure_reduce(out, p: ParticleState, rigid: RigidState,
+                        params: SimParams):
+    """Post-process _nonpressure_outputs into (acceleration, rigid force,
+    rigid torque)."""
+    fluid_i = (p.material == MATERIAL_FLUID)[:, None]
+    a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
+    a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
+    if not params.has_dynamic_rigid:
+        return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm = p.pos - rigid.com[obj]
+    torque_pp = pair_cross(arm, out["fpp"], params.dim)
+    force, torque = reduce_wrench(out["fpp"], torque_pp, p, params)
+    return a, force, torque
+
+
 def nonpressure_fused(
     p: ParticleState, rigid: RigidState, env: PairEnv, sl: dict,
     params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Surface tension + standard viscosity (+ viscosity rigid wrench) in a
     single pair pass — physics identical to calling the two ops separately."""
-    d2c = 2.0 * (params.dim + 2)
-    diam = params.particle_diameter
-    dim = params.dim
-
     def kern(cx):
-        R, d2, mask = cx.geometry()
-        gw = _gw_coef(d2, params)
-        mat_j = cx.slab("material")
-        fluid_j = mask & (mat_j == MATERIAL_FLUID)
-        rigid_j = mask & (mat_j == MATERIAL_RIGID)
-
-        # surface tension (fluid neighbors only; base_solver.py:209-229)
-        w_dm = kernels.W(jnp.float32(diam), params.support_radius,
-                         params.dim, params.kernel_type)
-        Wst = cx.where(d2 > diam * diam, _w_d2(d2, params), w_dm)
-        mW = cx.slab("mass") * Wst
-        out = {f"st{d}": cx.sum(cx.where(fluid_j, mW * R[d], 0.0), fluid_j)
-               for d in range(dim)}
-
-        # standard viscosity (base_solver.py:231-278)
-        vb, vs = cx.vec_blk("vel"), cx.vec_slab("vel")
-        v_xy = sum((vb[d] - vs[d]) * R[d] for d in range(dim))
-        denom = d2 + 0.01 * params.support_radius ** 2
-        inv_denom = 1.0 / denom
-        inv_rho_j = cx.slab("inv_rho")          # hoisted per-particle 1/rho
-        m_ij = 0.5 * (cx.blk("mass") + cx.slab("mass"))
-        coef_f = d2c * params.viscosity * m_ij * inv_rho_j * inv_denom * v_xy
-        m_b = params.density0 * cx.slab("rest_volume")
-        coef_b = d2c * params.viscosity_b * m_b * cx.blk("inv_rho") * \
-            inv_denom * v_xy
-        coef = (cx.where(fluid_j, coef_f, 0.0) +
-                cx.where(rigid_j, coef_b, 0.0)) * gw
-        for d in range(dim):
-            out[f"acc{d}"] = cx.sum(coef * R[d], mask)
-
-        if params.has_dynamic_rigid:
-            # viscosity wrench on the rigid row (base_solver.py:272-278)
-            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                (cx.blk("rigid_dyn") > 0)
-            c = d2c * params.viscosity_b * cx.blk("rest_volume") * \
-                cx.slab("mass") * inv_rho_j * inv_denom * v_xy * gw
-            c = cx.where(pair_ok, c, 0.0)
-            for d in range(dim):
-                out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
-        return out
+        return _nonpressure_outputs(cx, params)
 
     inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
     inv_rho_slab = jax.tree.map(
@@ -381,16 +405,7 @@ def nonpressure_fused(
          "mass": sl["mass"], "rest_volume": sl["rest_volume"],
          "inv_rho": inv_rho_slab},
         fields, params)
-    fluid_i = (p.material == MATERIAL_FLUID)[:, None]
-    a_st = -params.surface_tension / jnp.maximum(p.mass, 1e-12)[:, None] * out["st"]
-    a = jnp.where(fluid_i, a_st + out["acc"] / params.density0, 0.0)
-    if not params.has_dynamic_rigid:
-        return a, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
-    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm = p.pos - rigid.com[obj]
-    torque_pp = pair_cross(arm, out["fpp"], params.dim)
-    force, torque = reduce_wrench(out["fpp"], torque_pp, p, params)
-    return a, force, torque
+    return _nonpressure_reduce(out, p, rigid, params)
 
 
 # ---------------------------------------------------------------------------

@@ -188,46 +188,70 @@ def compute_density_star(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
     return jnp.where(p.material == MATERIAL_FLUID, star, 0.0)
 
 
+def _correction_outputs(cx, params: SimParams, pre: str = "") -> dict:
+    """Kernel-body fragment of one corrector iteration (DFSPH.py:161-202 /
+    245-283): velocity correction sums ``{pre}dv{d}`` and, with dynamic
+    rigids, per-rigid-row wrench sums ``{pre}fp{d}``. Factored out so the
+    warm-start correction can ride another pass's kernel (slab/block names:
+    kappa, k_rho, rest_volume, material, rigid_dyn)."""
+    eps = params.dfsph_eps * params.dt
+    dim = params.dim
+    # all divisions hoisted to per-particle precomputes (k_rho = kappa/rho)
+    R, d2, mask = cx.geometry()
+    gw = common._gw_coef(d2, params)
+    vgw = cx.slab("rest_volume") * gw                  # grad_pj = vgw * R
+    mat_j = cx.slab("material")
+    k_i = cx.blk("kappa")
+    k_j = cx.slab("kappa")
+    kr_i = cx.blk("k_rho")
+    kr_j = cx.slab("k_rho")
+    fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
+    rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
+    coef = (cx.where(fluid_j, kr_i + kr_j, 0.0) +
+            cx.where(rigid_j, kr_i, 0.0)) * params.density0 * vgw
+    out = {f"{pre}dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
+           for d in range(dim)}
+
+    if params.has_dynamic_rigid:
+        # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
+        pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
+            (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
+        c = -cx.blk("rest_volume") * kr_j * \
+            params.density0 / params.dt * \
+            (cx.slab("rest_volume") * params.density0) * gw
+        c = cx.where(pair_ok, c, 0.0)
+        for d in range(dim):
+            out[f"{pre}fp{d}"] = cx.sum(c * R[d], pair_ok)
+    return out
+
+
+def _correction_reduce(out, p: ParticleState, rigid: RigidState,
+                       params: SimParams, pre: str = ""):
+    """Post-process _correction_outputs: mask dv to fluid rows, reduce the
+    per-rigid-particle wrench sums into per-object wrenches."""
+    fluid_i = p.material == MATERIAL_FLUID
+    dv = jnp.where(fluid_i[:, None], out[f"{pre}dv"], 0.0)
+    if not params.has_dynamic_rigid:
+        return dv, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    arm = p.pos - rigid.com[obj]
+    torque_pp = common.pair_cross(arm, out[f"{pre}fp"], params.dim)
+    force, torque = common.reduce_wrench(out[f"{pre}fp"], torque_pp, p, params)
+    return dv, force, torque
+
+
 def _correction(
     p: ParticleState, rigid: RigidState, kappa: jnp.ndarray,
     kappa_slab: jnp.ndarray, env: PairEnv, sl: dict, params: SimParams,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Velocity correction dv and rigid wrench for one corrector iteration
     (DFSPH.py:161-202 / 245-283; both correctors share this form)."""
-    eps = params.dfsph_eps * params.dt
-    dim = params.dim
     rigid_dyn = ((p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)).astype(jnp.int32)
     if kappa_slab is None:
         kappa_slab = slab_pack(env, {"kappa": kappa})["kappa"]
 
     def kern(cx):
-        # all divisions hoisted to per-particle precomputes (k_rho = kappa/rho)
-        R, d2, mask = cx.geometry()
-        gw = common._gw_coef(d2, params)
-        vgw = cx.slab("rest_volume") * gw                  # grad_pj = vgw * R
-        mat_j = cx.slab("material")
-        k_i = cx.blk("kappa")
-        k_j = cx.slab("kappa")
-        kr_i = cx.blk("k_rho")
-        kr_j = cx.slab("k_rho")
-        fluid_j = mask & (mat_j == MATERIAL_FLUID) & (jnp.abs(k_i + k_j) > eps)
-        rigid_j = mask & (mat_j == MATERIAL_RIGID) & (jnp.abs(k_i) > eps)
-        coef = (cx.where(fluid_j, kr_i + kr_j, 0.0) +
-                cx.where(rigid_j, kr_i, 0.0)) * params.density0 * vgw
-        out = {f"dv{d}": cx.sum(-coef * R[d], fluid_j | rigid_j)
-               for d in range(dim)}
-
-        if params.has_dynamic_rigid:
-            # wrench on rigid row r from fluid neighbor i (DFSPH.py:193-202)
-            pair_ok = mask & (mat_j == MATERIAL_FLUID) & \
-                (cx.blk("rigid_dyn") > 0) & (jnp.abs(k_j) > eps)
-            c = -cx.blk("rest_volume") * kr_j * \
-                params.density0 / params.dt * \
-                (cx.slab("rest_volume") * params.density0) * gw
-            c = cx.where(pair_ok, c, 0.0)
-            for d in range(dim):
-                out[f"fpp{d}"] = cx.sum(c * R[d], pair_ok)
-        return out
+        return _correction_outputs(cx, params)
 
     k_rho = kappa / jnp.maximum(p.density, 1e-12)
     fields = {"pos": p.pos, "kappa": kappa, "k_rho": k_rho,
@@ -239,15 +263,46 @@ def _correction(
         {"rest_volume": sl["rest_volume"], "material": sl["material"],
          "kappa": kappa_slab, "k_rho": k_rho},
         fields, params)
-    fluid_i = p.material == MATERIAL_FLUID
-    dv = jnp.where(fluid_i[:, None], out["dv"], 0.0)
-    if not params.has_dynamic_rigid:
-        return dv, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
-    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm = p.pos - rigid.com[obj]
-    torque_pp = common.pair_cross(arm, out["fpp"], params.dim)
-    force, torque = common.reduce_wrench(out["fpp"], torque_pp, p, params)
-    return dv, force, torque
+    return _correction_reduce(out, p, rigid, params)
+
+
+def nonpressure_warm_fused(
+    p: ParticleState, rigid: RigidState, kappa_w: jnp.ndarray,
+    env: PairEnv, sl: dict, params: SimParams,
+):
+    """Surface tension + standard viscosity + the warm-start density
+    correction in ONE pair pass. The warm correction reads only
+    pos/kappa/density (never velocity), so it is independent of the
+    non-pressure pass and the sums are identical to running it separately —
+    this saves one full pair pass per step on the warm-start path.
+    Returns (a_nonpressure, visc_force, visc_torque, dv_warm, warm_force,
+    warm_torque)."""
+    def kern(cx):
+        out = common._nonpressure_outputs(cx, params)
+        out.update(_correction_outputs(cx, params, pre="w"))
+        return out
+
+    inv_rho = 1.0 / jnp.where(p.density > 0, p.density, 1.0)
+    inv_rho_slab = jax.tree.map(
+        lambda rho: 1.0 / jnp.where(rho > 0, rho, 1.0), sl["density"])
+    k_rho = kappa_w / jnp.maximum(p.density, 1e-12)
+    ks = slab_pack(env, {"kappa": kappa_w, "k_rho": k_rho})
+    fields = {"pos": p.pos, "vel": p.vel, "mass": p.mass,
+              "rest_volume": p.rest_volume, "inv_rho": inv_rho,
+              "kappa": kappa_w, "k_rho": k_rho}
+    if params.has_dynamic_rigid:
+        fields["rigid_dyn"] = (
+            (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0)
+        ).astype(jnp.int32)
+    out = pair_exec.run(
+        kern, env,
+        {"vel": sl["vel"], "material": sl["material"],
+         "mass": sl["mass"], "rest_volume": sl["rest_volume"],
+         "inv_rho": inv_rho_slab, "kappa": ks["kappa"], "k_rho": ks["k_rho"]},
+        fields, params)
+    a, vf, vt = common._nonpressure_reduce(out, p, rigid, params)
+    dv, wf, wt = _correction_reduce(out, p, rigid, params, pre="w")
+    return a, vf, vt, dv, wf, wt
 
 
 def _avg_over_active(x: jnp.ndarray, p: ParticleState,
@@ -262,6 +317,7 @@ def correct_density_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
     env: PairEnv, sl: dict, params: SimParams,
     kappa0: jnp.ndarray = None,
+    warm_pre: tuple = None,
 ) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Constant-density solver (DFSPH.py:225-243).
 
@@ -270,14 +326,22 @@ def correct_density_error(
     the first density probe — replacing the cold star0 pass and usually one
     corrector iteration at settled state — then iterates to the same
     tolerance as the cold path. Returns the accumulated stiffness for the
-    next step's warm start (zeros on the cold path)."""
+    next step's warm start (zeros on the cold path).
+
+    ``warm_pre`` = (kappa_w, dv, force, torque): the warm correction already
+    computed by a fused earlier pass (nonpressure_warm_fused) — same values,
+    one fewer pair pass."""
     fluid_i = p.material == MATERIAL_FLUID
     vel0 = p.vel
     rf0 = jnp.zeros_like(rigid.force)
     rt0 = jnp.zeros_like(rigid.torque)
     kacc0 = jnp.zeros_like(alpha)
     itr0 = jnp.int32(0)
-    if kappa0 is not None:
+    if warm_pre is not None:
+        kappa_w, dv, f, tq = warm_pre
+        vel0 = vel0 + dv
+        rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
+    elif kappa0 is not None:
         kappa_w = jnp.where(fluid_i, jnp.maximum(0.5 * kappa0, 0.0), 0.0)
         dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
         vel0 = vel0 + dv
@@ -285,7 +349,7 @@ def correct_density_error(
 
     vslab0 = slab_pack(env, {"v": vel0})["v"]
     star0 = compute_density_star(p, vel0, vslab0, env, sl, params)
-    if kappa0 is not None:
+    if kappa0 is not None or warm_pre is not None:
         # warm path: the loop-entry error is real (the warm correction may
         # already satisfy the tolerance); cold path keeps the >=1-iteration
         # floor of the reference
@@ -353,6 +417,33 @@ def correct_divergence_error(
     return p.replace(vel=vel), rigid, itr, err
 
 
+def _nonpressure_and_density_solve(p, rigid, state, env, sl, params, plumbing):
+    """Non-pressure accelerations + velocity update + constant-density solve
+    (the first half of DFSPH.py:298-319's ordering). On the warm-start path
+    with standard viscosity, the warm correction rides the non-pressure pass
+    (nonpressure_warm_fused) — one fewer pair pass per step, identical sums."""
+    alpha = state.dfsph_alpha
+    if params.dfsph_warm_start and params.viscosity_method == "standard":
+        fluid_i = p.material == MATERIAL_FLUID
+        kappa_w = jnp.where(fluid_i,
+                            jnp.maximum(0.5 * state.dfsph_kappa, 0.0), 0.0)
+        a_np, vf, vt, dv, wf, wt = nonpressure_warm_fused(
+            p, rigid, kappa_w, env, sl, params)
+        acc = common.gravity_acceleration(p, params) + a_np
+        rigid = rigid.replace(force=rigid.force + vf,
+                              torque=rigid.torque + vt)
+        p = p.replace(acc=acc)
+        p = common.update_fluid_velocity(p, params)
+        return correct_density_error(p, rigid, alpha, env, sl, params,
+                                     warm_pre=(kappa_w, dv, wf, wt))
+    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state,
+                                                  params)
+    p = common.update_fluid_velocity(p, params)
+    return correct_density_error(
+        p, rigid, alpha, env, sl, params,
+        kappa0=state.dfsph_kappa if params.dfsph_warm_start else None)
+
+
 def segment_a(state: SimState, params: SimParams, plumbing
               ) -> tuple[SimState, dict]:
     """First half of a DFSPH step for executors that cannot cache the pair
@@ -367,12 +458,8 @@ def segment_a(state: SimState, params: SimParams, plumbing
     sl["density"] = slab_pack(env, {"d": dens})["d"]
     state = state.replace(particles=p, dfsph_alpha=alpha)
 
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env, sl, state,
-                                                  params)
-    p = common.update_fluid_velocity(p, params)
-    p, rigid, itr_d, err_d, kacc = correct_density_error(
-        p, rigid, alpha, env, sl, params,
-        kappa0=state.dfsph_kappa if params.dfsph_warm_start else None)
+    p, rigid, itr_d, err_d, kacc = _nonpressure_and_density_solve(
+        p, rigid, state, env, sl, params, plumbing)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)
@@ -415,11 +502,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     env0 = state.cached_neighbors
     sl0 = common.particle_slabs(env0, p, common.STATIC_SLAB_KEYS)
 
-    p, rigid = plumbing.non_pressure_acceleration(p, rigid, env0, sl0, state, params)
-    p = common.update_fluid_velocity(p, params)
-    p, rigid, itr_d, err_d, kacc = correct_density_error(
-        p, rigid, state.dfsph_alpha, env0, sl0, params,
-        kappa0=state.dfsph_kappa if params.dfsph_warm_start else None)
+    p, rigid, itr_d, err_d, kacc = _nonpressure_and_density_solve(
+        p, rigid, state, env0, sl0, params, plumbing)
     p = common.update_fluid_position(p, rigid, params)
 
     state = state.replace(particles=p, rigid=rigid)

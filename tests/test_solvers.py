@@ -175,3 +175,39 @@ def test_entry_time_activation():
     for _ in range(12):   # 12 steps > 0.01s/1e-3
         sim.step()
     assert active_of(1) > 0
+
+
+def test_warm_fused_pass_matches_separate_passes():
+    """nonpressure_warm_fused (the warm-start correction riding the
+    non-pressure pass) must produce EXACTLY the sums of running
+    nonpressure_fused and the warm _correction as separate passes — the
+    fusion is a pass-count optimization, not a numerics change."""
+    from sph_project_tpu.solvers import common, dfsph
+
+    scene, state = load_scene(config=dam_break_cfg(
+        "dfsph", dt=5e-4, extra={"dfsphWarmStart": True}), **FAST)
+    params = scene.params
+    sim = simlib.Simulation(scene, state)
+    for _ in range(8):
+        sim.step()                    # build up a nonzero kappa carry
+    state = sim.state
+    p, rigid = state.particles, state.rigid
+    env = state.cached_neighbors
+    sl = common.particle_slabs(env, p, common.STATIC_SLAB_KEYS)
+    fluid_i = p.material == 1
+    # synthetic positive stiffness carry (early fall leaves the real carry
+    # at zero — star clamps to 1 in free fall); exactness must hold for ANY
+    # kappa, so a random one tests the fusion more strongly
+    key = jax.random.PRNGKey(7)
+    kappa_w = jnp.where(
+        fluid_i, jnp.abs(jax.random.normal(key, fluid_i.shape)) * 1e-3, 0.0)
+
+    a_f, vf_f, vt_f, dv_f, wf_f, wt_f = dfsph.nonpressure_warm_fused(
+        p, rigid, kappa_w, env, sl, params)
+    a_s, vf_s, vt_s = common.nonpressure_fused(p, rigid, env, sl, params)
+    dv_s, wf_s, wt_s = dfsph._correction(p, rigid, kappa_w, None, env, sl,
+                                         params)
+    assert float(jnp.max(jnp.abs(dv_f))) > 0.0  # correction actually acts
+    for x, y in [(a_f, a_s), (vf_f, vf_s), (vt_f, vt_s),
+                 (dv_f, dv_s), (wf_f, wf_s), (wt_f, wt_s)]:
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
