@@ -105,10 +105,18 @@ def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
 
 
 def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
-                   interpret: bool | None = None) -> Dict[str, jnp.ndarray]:
+                   interpret: bool | None = None,
+                   k_fix: int = K_FIX) -> Dict[str, jnp.ndarray]:
     """Return ``{k: v[perm] for k, v in arrays}`` via the one-hot kernel.
 
     Arrays may be (N,) f32/i32 or (N, d); N must be a multiple of 128.
+
+    ``k_fix`` sizes the sparse-fix budget for slots outside the span + far
+    tiles. The default covers the stable-argsort layout (measured < 2048
+    uncovered at 1.96M); the incremental-sort layout places cell arrivals
+    after stayers, shifting slightly more slots per step (measured ~2400
+    uncovered at the 1.23M headline scene — overflowed the default and
+    zeroed records), so its caller passes a doubled budget.
     """
     n = perm.shape[0]
     assert n % OB == 0
@@ -204,13 +212,13 @@ def permute_fields(perm: jnp.ndarray, arrays: Dict[str, jnp.ndarray],
     # rank-compaction of the uncovered indices (cheaper than an argsort);
     # unfilled fix slots stay 0 — a harmless exact rewrite of slot 0
     unc_rank = jnp.cumsum(unc) - unc
-    fix_idx = jnp.zeros((K_FIX,), jnp.int32).at[
-        jnp.where((unc == 1) & (unc_rank < K_FIX), unc_rank, K_FIX)].set(
+    fix_idx = jnp.zeros((k_fix,), jnp.int32).at[
+        jnp.where((unc == 1) & (unc_rank < k_fix), unc_rank, k_fix)].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop")
     src = perm[fix_idx]
     out = {k: out[k].at[fix_idx].set(mat[i, :n][src])
            for i, k in enumerate(names)}
-    overflow = jnp.maximum(n_unc - K_FIX, 0).astype(jnp.int32)
+    overflow = jnp.maximum(n_unc - k_fix, 0).astype(jnp.int32)
 
     merged = _collect(dict(out), n)
     res = {}

@@ -98,7 +98,12 @@ def sort_state(state: SimState, params: SimParams,
         from .ops import permute as permlib
         arrays = {k: getattr(p, k) for k in pkeys}
         arrays.update({k: getattr(state, k) for k in extras})
-        out, overflow = permlib.permute_fields(perm, arrays)
+        # the incremental layout shifts slightly more slots than the stable
+        # argsort (arrivals land after stayers) — give its sparse-fix pass
+        # double the budget (measured ~2400 uncovered vs the 2048 default
+        # at the 1.23M headline scene)
+        k_fix = permlib.K_FIX * 2 if params.sort_incremental else permlib.K_FIX
+        out, overflow = permlib.permute_fields(perm, arrays, k_fix=k_fix)
         state = state.replace(**{k: out.pop(k) for k in extras})
         p = p.replace(**out)
     else:
