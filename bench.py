@@ -99,11 +99,16 @@ def main():
     ap.add_argument("--sort-incremental", action="store_true",
                     help="A/B: build sort permutations incrementally "
                          "(params.sort_incremental)")
-    ap.add_argument("--warm-start", action="store_true",
-                    help="A/B: warm-start the DFSPH density corrector from "
-                         "the previous step (params.dfsph_warm_start; same "
-                         "convergence tolerance, fewer passes at settled "
-                         "state)")
+    ap.add_argument("--warm-start", action="store_true", default=True,
+                    help="warm-start the DFSPH density corrector from the "
+                         "previous step (params.dfsph_warm_start; same "
+                         "convergence tolerance, one fewer pair pass per "
+                         "step). DEFAULT ON since the hardware A/B: settled "
+                         "1.91e6 vs cold 1.67e6 at the headline scene, "
+                         "overflow 0. The metric label carries '+warm'.")
+    ap.add_argument("--cold", action="store_true",
+                    help="disable the warm start (the reference's "
+                         "cold-every-step algorithm, for parity A/Bs)")
     args = ap.parse_args()
 
     import jax
@@ -129,7 +134,7 @@ def main():
         import dataclasses
         scene.params = dataclasses.replace(scene.params, sort_incremental=True)
         workload += " +inc-sort"
-    if args.warm_start:
+    if args.warm_start and not args.cold:
         import dataclasses
         scene.params = dataclasses.replace(scene.params,
                                            dfsph_warm_start=True)
