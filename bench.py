@@ -35,6 +35,14 @@ VMEM budget on their worst step); it is gated at a per-step FRACTION of the
 particle count (default 1e-3, i.e. ~7e-7 of scanned candidates) and reported
 in the JSON + metric taint whenever nonzero. ``--allow-overflow N`` overrides
 the truncation bound for diagnostic sweeps.
+
+Wedge-hardening (round 4): the tunnel TPU worker sometimes crashes/restarts
+mid-run and self-heals in ~5-15 min (ROADMAP "Environment gotchas"). Every
+phase runs under retry: the device is health-polled before heavy work, the
+state is snapshotted to host after the early-fall phase, and a settled-phase
+crash restores the snapshot and retries after backoff. If the settled phase
+is unrecoverable, the JSON line is STILL printed with the early-fall value
+and ``"settled": "crashed"`` so the round keeps a driver-captured number.
 """
 from __future__ import annotations
 
@@ -48,6 +56,42 @@ import numpy as np
 A100_TAICHI_ESTIMATE = 1.0e7  # particle-steps/sec (see module docstring)
 HERE = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SCENE = os.path.join(HERE, "data", "scenes", "large_scale_dfsph.json")
+
+
+def wait_for_device(max_wait_s: float = 1200.0, poll_s: float = 30.0) -> bool:
+    """Poll the backend with a trivial dispatch until it answers.
+
+    The tunnel TPU wedges for ~5-15 min after worker crashes; poll (don't
+    spin) until a scalar round-trip succeeds. Returns True when healthy.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        try:
+            val = float(jax.jit(lambda x: x + 1.0)(jnp.float32(attempt)))
+            if val == attempt + 1.0:
+                return True
+        except Exception as e:  # noqa: BLE001 — any backend error means "wait"
+            print(f"# device unhealthy ({type(e).__name__}); "
+                  f"retry in {poll_s:.0f}s", flush=True)
+        if time.monotonic() > deadline:
+            return False
+        time.sleep(poll_s)
+        attempt += 1
+
+
+def snapshot_to_host(state):
+    """Device→host copy of the full state pytree (crash-recovery anchor)."""
+    import jax
+    return jax.tree.map(lambda x: np.asarray(x), state)
+
+
+def restore_from_host(snap):
+    import jax
+    return jax.tree.map(jax.device_put, snap)
 
 
 def build_synthetic(n_target: int, backend: str | None = None):
@@ -142,13 +186,24 @@ def main():
     params = scene.params
     n_fluid = sum(o.particle_num for o in scene.objects
                   if o.material == MATERIAL_FLUID)
-    state = jax.jit(lambda s: simlib.prepare(s, params))(state)
-    float(state.t)  # force completion through the tunnel
+    if not wait_for_device():
+        raise SystemExit("TPU backend unavailable after 20 min of polling")
+
+    # pre-prepare host anchor: lets a wedged early phase rebuild from scratch
+    snap0 = snapshot_to_host(state)
 
     # single-step dispatches (a lax.scan wrapper doubles peak memory and
     # kills the TPU worker at 1.23M particles); per-rep scalar-fetch sync.
     # donate_argnums halves peak memory — required at 1.23M
-    step = simlib._jitted_step(params)
+    step = None
+
+    def fresh_run():
+        nonlocal step
+        s = restore_from_host(snap0)
+        s = jax.jit(lambda s: simlib.prepare(s, params))(s)
+        float(s.t)  # force completion through the tunnel
+        step = simlib._jitted_step(params)
+        return s
 
     max_win_ovf = 0
     max_sort_ovf = 0
@@ -181,23 +236,57 @@ def main():
                   f"dens_iters={iters[0]} div_iters={iters[1]}")
         return pps, iters
 
-    run_steps(3)                       # compile + warm
-    early_pps, early_iters = timed_phase("early-fall")
+    # --- early-fall phase: compile + warm + first timing, retried on wedge
+    early_pps = early_iters = None
+    for attempt in range(3):
+        try:
+            state = fresh_run()
+            run_steps(3)                   # compile + warm
+            early_pps, early_iters = timed_phase("early-fall")
+            break
+        except Exception as e:  # noqa: BLE001 — tunnel wedge, retry
+            print(f"# early-fall attempt {attempt} crashed: "
+                  f"{type(e).__name__}: {e}", flush=True)
+            if attempt == 2 or not wait_for_device():
+                raise
 
-    # settle: let the column collapse so the correctors do realistic work
-    done = 0
-    while done < args.settle:
-        step_n = min(50, args.settle - done)
-        diag = run_steps(step_n)
-        done += step_n
-        if args.verbose:
-            print(f"# settle {done}/{args.settle}: iters="
-                  f"{int(diag['solver_iters'])}/{int(diag['div_iters'])} "
-                  f"rho_max={float(diag['density_max']):.0f}")
-    pps, iters = timed_phase("settled")
+    # host anchor at the start of the settle phase: a settled-phase crash
+    # restores here instead of losing the whole run (round-3 failure mode)
+    snap_early = snapshot_to_host(state)
 
-    assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), \
-        "NaN in benchmark"
+    # --- settle + settled phase, retried from the anchor on wedge ---
+    settled_error = None
+    pps = iters = None
+    for attempt in range(3):
+        try:
+            # test hook: BENCH_INJECT_SETTLED_CRASH=once|always exercises the
+            # retry / salvage paths without a real device wedge
+            inject = os.environ.get("BENCH_INJECT_SETTLED_CRASH", "")
+            if inject == "always" or (inject == "once" and attempt == 0):
+                raise RuntimeError("injected settled-phase crash (test hook)")
+            done = 0
+            while done < args.settle:
+                step_n = min(50, args.settle - done)
+                diag = run_steps(step_n)
+                done += step_n
+                if args.verbose:
+                    print(f"# settle {done}/{args.settle}: iters="
+                          f"{int(diag['solver_iters'])}/"
+                          f"{int(diag['div_iters'])} "
+                          f"rho_max={float(diag['density_max']):.0f}",
+                          flush=True)
+            pps, iters = timed_phase("settled")
+            settled_error = None
+            break
+        except Exception as e:  # noqa: BLE001 — tunnel wedge, retry
+            settled_error = f"{type(e).__name__}: {e}"
+            print(f"# settled attempt {attempt} crashed: {settled_error}",
+                  flush=True)
+            if attempt == 2 or not wait_for_device():
+                break
+            step = simlib._jitted_step(params)
+            state = restore_from_host(snap_early)
+
     tainted = ""
     if max_sort_ovf > 0:
         raise AssertionError(
@@ -212,6 +301,31 @@ def main():
             f"number not publishable")
     if max_win_ovf > 0:
         tainted = f" [WINDOW-TRUNC {max_win_ovf}]"
+
+    if pps is None:
+        # settled phase unrecoverable: publish the early-fall number tainted
+        # rather than exiting 1 — a driver-captured partial beats nothing
+        print(json.dumps({
+            "metric": f"EARLY-FALL particle-steps/sec (DFSPH, {workload}, "
+                      f"{n_fluid} fluid / {params.n_particles} total "
+                      f"particles, iters {early_iters[0]}/{early_iters[1]})"
+                      f"{tainted} [SETTLED PHASE CRASHED — early-fall value, "
+                      f"easier regime]",
+            "value": round(early_pps, 1),
+            "unit": "particle-steps/s",
+            "vs_baseline": round(early_pps / A100_TAICHI_ESTIMATE, 3),
+            "early_fall_value": round(early_pps, 1),
+            "early_fall_iters": list(early_iters),
+            "settled": "crashed",
+            "settled_error": settled_error,
+            "overflow": max_win_ovf + max_sort_ovf,
+            "overflow_window": max_win_ovf,
+            "overflow_sort": max_sort_ovf,
+        }))
+        return
+
+    assert bool(np.isfinite(np.asarray(state.particles.pos)).all()), \
+        "NaN in benchmark"
     print(json.dumps({
         "metric": f"settled particle-steps/sec (DFSPH, {workload}, "
                   f"{n_fluid} fluid / {params.n_particles} total "
