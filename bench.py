@@ -153,6 +153,11 @@ def main():
     ap.add_argument("--cold", action="store_true",
                     help="disable the warm start (the reference's "
                          "cold-every-step algorithm, for parity A/Bs)")
+    ap.add_argument("--warm-div", action="store_true",
+                    help="also warm-start the divergence corrector "
+                         "(params.dfsph_warm_start_div; pays off on "
+                         "pileup scenes where it iterates 10+, costs one "
+                         "extra pass where it converges in 1)")
     args = ap.parse_args()
 
     import jax
@@ -183,6 +188,11 @@ def main():
         scene.params = dataclasses.replace(scene.params,
                                            dfsph_warm_start=True)
         workload += " +warm"
+    if args.warm_div:
+        import dataclasses
+        scene.params = dataclasses.replace(scene.params,
+                                           dfsph_warm_start_div=True)
+        workload += " +warmdiv"
     params = scene.params
     n_fluid = sum(o.particle_num for o in scene.objects
                   if o.material == MATERIAL_FLUID)
@@ -213,10 +223,17 @@ def main():
         diag = None
         for _ in range(n):
             state, diag = step(state)
-        ovf = int(diag["neighbor_overflow"])
-        sort_ovf = int(diag.get("sort_overflow", 0))
-        max_win_ovf = max(max_win_ovf, ovf - sort_ovf)
-        max_sort_ovf = max(max_sort_ovf, sort_ovf)
+        # the state carries overflow ACCUMULATORS across steps, so this
+        # once-per-chunk fetch sees every intermediate step's overflow
+        # (a per-step-only fetch missed the inc-sort corruption on step 0)
+        if "sort_overflow_acc" in diag:
+            max_sort_ovf = max(max_sort_ovf, int(diag["sort_overflow_acc"]))
+            max_win_ovf = max(max_win_ovf, int(diag["window_overflow_max"]))
+        else:
+            ovf = int(diag["neighbor_overflow"])
+            sort_ovf = int(diag.get("sort_overflow", 0))
+            max_win_ovf = max(max_win_ovf, ovf - sort_ovf)
+            max_sort_ovf = max(max_sort_ovf, sort_ovf)
         float(state.t)
         return diag
 

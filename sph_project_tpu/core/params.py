@@ -66,6 +66,15 @@ class SimParams:
     # trajectories differ microscopically from the cold reference algorithm
     # — default OFF for reference parity. Scene key: dfsphWarmStart.
     dfsph_warm_start: bool = False
+    # warm-start the DIVERGENCE-free corrector from the previous step's
+    # accumulated kappa_v, same pattern as dfsph_warm_start. Adds one
+    # correction + one derivative probe before the loop, so it only pays
+    # off where the cold solver iterates a lot — quasi-static pileups
+    # (the nine-rigid scene runs 10+ divergence iterations settled); the
+    # fluid-only headline converges in 1, where this stays OFF. Same
+    # tolerance, so physics quality is unchanged.
+    # Scene key: dfsphWarmStartDiv.
+    dfsph_warm_start_div: bool = False
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

@@ -89,6 +89,14 @@ class SimState(struct.PyTreeNode):
     # accumulated constant-density stiffness of the previous step's solve —
     # the dfsph_warm_start carry (zeros when warm start is off)
     dfsph_kappa: jnp.ndarray    # (N,) f32
+    # accumulated divergence stiffness — the dfsph_warm_start_div carry
+    dfsph_kappa_v: jnp.ndarray  # (N,) f32
+    # overflow accumulators: total sort overflow since start (any nonzero =
+    # corrupted records somewhere in the run) and max per-step window
+    # truncation — carried in state so chunked diagnostic fetches can't
+    # miss a corrupt intermediate step
+    sort_overflow_acc: jnp.ndarray    # () i32
+    window_overflow_max: jnp.ndarray  # () i32
     # IISPH's d_ii reads the previous step's advected density for rigid
     # neighbors (IISPH.py:39-44 runs before :212's recompute) — carried here.
     iisph_density_star: jnp.ndarray  # (N,) f32
@@ -137,6 +145,9 @@ def zeros_state(params: SimParams) -> SimState:
         visc_x=jnp.zeros((n, d), f),
         dfsph_alpha=jnp.zeros((n,), f),
         dfsph_kappa=jnp.zeros((n,), f),
+        dfsph_kappa_v=jnp.zeros((n,), f),
+        sort_overflow_acc=jnp.zeros((), i),
+        window_overflow_max=jnp.zeros((), i),
         iisph_density_star=jnp.zeros((n,), f),
         cached_neighbors=None,
     )

@@ -32,13 +32,36 @@ def save(path: str, state) -> None:
 
 
 def restore(path: str, template):
-    """Restore into the structure of ``template`` (shapes must match)."""
+    """Restore into the structure of ``template``, matching leaves BY NAME
+    (tree path) so state fields added after a checkpoint was written fall
+    back to the template's value instead of invalidating the file. Leaves
+    present in the checkpoint but absent from the template are dropped with
+    a warning; shapes of matched leaves must agree."""
     with np.load(os.path.join(path, "state.npz"), allow_pickle=True) as z:
         names = list(z["__names__"])
-        leaves = [z[f"leaf_{i}"] for i in range(len(names))]
+        by_name = {str(n): z[f"leaf_{i}"] for i, n in enumerate(names)}
     t_names, t_vals, treedef = _flatten_with_names(template)
-    if names != t_names:
-        raise ValueError(f"checkpoint structure mismatch: {names[:3]}... vs "
-                         f"{t_names[:3]}...")
-    new_leaves = [jnp.asarray(a) for a in leaves]
+    if not set(t_names) & set(by_name):
+        raise ValueError(
+            f"checkpoint structure mismatch: no common leaves between "
+            f"{sorted(by_name)[:3]}... and {t_names[:3]}...")
+    new_leaves = []
+    for name, tval in zip(t_names, t_vals):
+        if name in by_name:
+            a = by_name.pop(name)
+            ts = getattr(tval, "shape", None)
+            if ts is not None and tuple(a.shape) != tuple(ts):
+                raise ValueError(
+                    f"checkpoint leaf {name} shape {a.shape} != "
+                    f"template {ts}")
+            new_leaves.append(jnp.asarray(a))
+        else:
+            import warnings
+            warnings.warn(f"checkpoint missing leaf {name}; "
+                          f"keeping template value (new state field)")
+            new_leaves.append(tval)
+    if by_name:
+        import warnings
+        warnings.warn(f"checkpoint leaves not in template (dropped): "
+                      f"{sorted(by_name)[:5]}")
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

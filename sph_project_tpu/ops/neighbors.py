@@ -57,9 +57,22 @@ class PairGeometry(struct.PyTreeNode):
 
 
 def cell_coords(pos: jnp.ndarray, params: SimParams) -> jnp.ndarray:
-    """Integer cell coordinates, clamped into the grid."""
+    """Integer cell coordinates, clamped into the grid.
+
+    The quotient is computed behind an ``optimization_barrier`` so XLA emits
+    the SAME isolated kernel in every program that bins particles: fused
+    into different consumers, (pos - start) / h compiles to different
+    fma/mul+add sequences whose f32 results differ in the last ulp — and a
+    perfect lattice puts many particles exactly on cell edges, where one ulp
+    flips floor() by a whole cell. Measured round 4: prepare()'s program and
+    the step's program disagreed on ~712k of 1.23M lattice particles, which
+    the incremental sort then treated as phantom cell-crossers (blowing its
+    crosser budget and zeroing records). The barrier pins one rounding for
+    all programs."""
     start = jnp.asarray(params.domain_start, jnp.float32)
-    coords = jnp.floor((pos - start) / params.support_radius).astype(jnp.int32)
+    q = jax.lax.optimization_barrier(
+        (pos - start) / jnp.float32(params.support_radius))
+    coords = jnp.floor(q).astype(jnp.int32)
     hi = jnp.asarray(params.grid_num, jnp.int32) - 1
     return jnp.clip(coords, 0, hi)
 

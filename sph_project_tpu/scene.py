@@ -118,6 +118,12 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     ws = cfg.get_cfg("dfsphWarmStart")
     if ws is not None:
         kw["dfsph_warm_start"] = bool(ws)
+    wsd = cfg.get_cfg("dfsphWarmStartDiv")
+    if wsd is not None:
+        kw["dfsph_warm_start_div"] = bool(wsd)
+    si = cfg.get_cfg("sortIncremental")
+    if si is not None:
+        kw["sort_incremental"] = bool(si)
     if dh is not None:
         kw["support_radius"] = dh
     if g_upper is not None:

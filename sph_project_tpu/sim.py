@@ -48,6 +48,8 @@ def permuted_keys(params: SimParams) -> tuple:
         extras.append("iisph_density_star")
     if params.dfsph_warm_start:
         extras.append("dfsph_kappa")
+    if params.dfsph_warm_start_div:
+        extras.append("dfsph_kappa_v")
     return tuple(keys), tuple(extras)
 
 
@@ -319,7 +321,25 @@ def get_step_fn(params: SimParams, plumbing=None
         fn = functools.partial(pbf.step, params=params, plumbing=plumbing)
     else:
         raise NotImplementedError(f"simulation method {method}")
-    return fn
+
+    def step_with_overflow_accounting(state: SimState):
+        """Carry overflow ACCUMULATORS in the state so callers that fetch
+        diagnostics only every k steps (bench.py times 25-step chunks)
+        cannot miss a corrupt intermediate step — round 4's incremental-sort
+        corruption fired sort_overflow=219168 on step 0 and was invisible to
+        the chunked gate by step 25."""
+        state, diag = fn(state)
+        so = diag.get("sort_overflow", jnp.int32(0))
+        wo = diag["neighbor_overflow"] - so
+        sort_acc = state.sort_overflow_acc + so
+        win_max = jnp.maximum(state.window_overflow_max, wo)
+        state = state.replace(sort_overflow_acc=sort_acc,
+                              window_overflow_max=win_max)
+        diag["sort_overflow_acc"] = sort_acc
+        diag["window_overflow_max"] = win_max
+        return state, diag
+
+    return step_with_overflow_accounting
 
 
 def prepare(state: SimState, params: SimParams) -> SimState:

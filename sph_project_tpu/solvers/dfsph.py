@@ -385,22 +385,52 @@ def correct_divergence_error(
     p: ParticleState, rigid: RigidState, alpha: jnp.ndarray,
     env: PairEnv, sl: dict, params: SimParams,
     deriv0: jnp.ndarray = None,
-) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray]:
+    kappa_v0: jnp.ndarray = None,
+) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Divergence-free solver (DFSPH.py:139-159). ``deriv0``: the initial
     density derivative when the caller already computed it (fused into the
-    density/alpha pass — density_alpha_divergence)."""
+    density/alpha pass — density_alpha_divergence).
+
+    ``kappa_v0`` (params.dfsph_warm_start_div): the previous step's
+    accumulated divergence stiffness. The warm path applies one correction
+    from 0.5*kappa_v0 BEFORE the first derivative probe — worth it exactly
+    where the cold solver iterates a lot (quasi-static pileups run 10+
+    divergence iterations; the settled dam break runs 1, where this should
+    stay off) — then iterates to the SAME tolerance as the cold path.
+    Returns the accumulated stiffness for the next step (zeros when cold).
+    """
     eta = params.dfsph_max_error_v * params.density0 / params.dt
-    if deriv0 is None:
+    fluid_i = p.material == MATERIAL_FLUID
+    vel0 = p.vel
+    rf0 = jnp.zeros_like(rigid.force)
+    rt0 = jnp.zeros_like(rigid.torque)
+    kacc0 = jnp.zeros_like(alpha)
+    itr0 = jnp.int32(0)
+    err0 = jnp.float32(jnp.inf)
+    if kappa_v0 is not None:
+        # kappa_v = deriv*alpha >= 0 by construction; clamp like the density
+        # warm start for robustness against stale negative noise
+        kappa_w = jnp.where(fluid_i, jnp.maximum(0.5 * kappa_v0, 0.0), 0.0)
+        dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
+        vel0 = vel0 + dv
+        vslab0 = slab_pack(env, {"v": vel0})["v"]
+        deriv0 = compute_density_derivative(p, vel0, vslab0, env, sl, params)
+        # loop-entry error is real: the warm correction may already satisfy
+        # the tolerance (the cold path keeps the reference's >=1-iteration
+        # floor)
+        err0 = _avg_over_active(params.density0 * deriv0, p, params)
+        rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
+    elif deriv0 is None:
         vslab0 = slab_pack(env, {"v": p.vel})["v"]
         deriv0 = compute_density_derivative(p, p.vel, vslab0, env, sl,
                                             params)
 
     def cond(carry):
-        _, _, _, _, itr, err = carry
+        _, _, _, _, itr, err, _ = carry
         return (itr < 1) | ((err > eta) & (itr < params.dfsph_max_iter_v))
 
     def body(carry):
-        vel, deriv, rf, rt, itr, _ = carry
+        vel, deriv, rf, rt, itr, _, kacc = carry
         kappa_v = deriv * alpha
         ks = slab_pack(env, {"k": kappa_v})
         dv, f, tq = _correction(p, rigid, kappa_v, ks["k"], env, sl, params)
@@ -408,13 +438,12 @@ def correct_divergence_error(
         vs = slab_pack(env, {"v": vel})["v"]
         deriv = compute_density_derivative(p, vel, vs, env, sl, params)
         err = _avg_over_active(params.density0 * deriv, p, params)
-        return vel, deriv, rf + f, rt + tq, itr + 1, err
+        return vel, deriv, rf + f, rt + tq, itr + 1, err, kacc + kappa_v
 
-    init = (p.vel, deriv0, jnp.zeros_like(rigid.force),
-            jnp.zeros_like(rigid.torque), jnp.int32(0), jnp.float32(jnp.inf))
-    vel, _, rf, rt, itr, err = jax.lax.while_loop(cond, body, init)
+    init = (vel0, deriv0, rf0, rt0, itr0, err0, kacc0)
+    vel, _, rf, rt, itr, err, kacc = jax.lax.while_loop(cond, body, init)
     rigid = rigid.replace(force=rigid.force + rf, torque=rigid.torque + rt)
-    return p.replace(vel=vel), rigid, itr, err
+    return p.replace(vel=vel), rigid, itr, err, kacc
 
 
 def _nonpressure_and_density_solve(p, rigid, state, env, sl, params, plumbing):
@@ -481,14 +510,17 @@ def segment_b(state: SimState, params: SimParams, plumbing
     dens, alpha, deriv0, svol = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": dens})["d"]
-    p, rigid, itr_v, err_v = correct_divergence_error(
-        p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
+    p, rigid, itr_v, err_v, kacc_v = correct_divergence_error(
+        p, state.rigid, alpha, env, sl, params, deriv0=deriv0,
+        kappa_v0=state.dfsph_kappa_v if params.dfsph_warm_start_div else None)
     if params.has_dynamic_rigid:
         p = common.apply_rigid_volume(p, svol, params)
     state = state.replace(
         particles=p, rigid=rigid, dfsph_alpha=alpha,
         t=state.t + params.dt, step_count=state.step_count + 1,
     )
+    if params.dfsph_warm_start_div:
+        state = state.replace(dfsph_kappa_v=kacc_v)
     diag = plumbing.diagnostics(state, env, params, extra=dict(
         div_iters=itr_v, div_err=err_v))
     return state, diag
@@ -521,8 +553,9 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
     dens, alpha, deriv0, svol = density_alpha_divergence(p, env, sl, params)
     p = p.replace(density=dens)
     sl["density"] = slab_pack(env, {"d": p.density})["d"]
-    p, rigid, itr_v, err_v = correct_divergence_error(
-        p, state.rigid, alpha, env, sl, params, deriv0=deriv0)
+    p, rigid, itr_v, err_v, kacc_v = correct_divergence_error(
+        p, state.rigid, alpha, env, sl, params, deriv0=deriv0,
+        kappa_v0=state.dfsph_kappa_v if params.dfsph_warm_start_div else None)
 
     # base step wrapper tail: time += dt, rigid volumes (base_solver.py:692-696)
     if params.has_dynamic_rigid:
@@ -531,6 +564,8 @@ def step(state: SimState, params: SimParams, plumbing) -> tuple[SimState, dict]:
         particles=p, rigid=rigid, dfsph_alpha=alpha, cached_neighbors=env,
         t=state.t + params.dt, step_count=state.step_count + 1,
     )
+    if params.dfsph_warm_start_div:
+        state = state.replace(dfsph_kappa_v=kacc_v)
     diag = plumbing.diagnostics(state, env, params, extra=dict(
         solver_iters=itr_d, solver_err=err_d * params.density0,
         div_iters=itr_v, div_err=err_v,

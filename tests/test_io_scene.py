@@ -60,6 +60,32 @@ def test_checkpoint_structure_mismatch(tmp_path):
         checkpoint.restore(ck, {"not": np.zeros(3), "the_same": np.ones(2)})
 
 
+def test_checkpoint_forward_compat_new_field(tmp_path):
+    """A checkpoint written before a state field existed restores into the
+    newer template: the missing leaf keeps the template's value (warned),
+    everything else matches by name. Exercises the dfsph_kappa_v-style
+    state evolution path."""
+    import os
+    import jax
+    scene, state = _smoke_scene()
+    # simulate an OLD checkpoint: drop one named leaf from the saved file
+    names, vals, _ = checkpoint._flatten_with_names(state)
+    drop = next(i for i, n in enumerate(names) if "dfsph_kappa_v" in n)
+    arrays = {f"leaf_{i}": np.asarray(v)
+              for i, v in enumerate(vals[:drop] + vals[drop + 1:])}
+    os.makedirs(str(tmp_path / "oldck"), exist_ok=True)
+    np.savez_compressed(
+        os.path.join(str(tmp_path / "oldck"), "state.npz"),
+        __names__=np.asarray(names[:drop] + names[drop + 1:], dtype=object),
+        **arrays)
+    with pytest.warns(UserWarning, match="dfsph_kappa_v"):
+        restored = checkpoint.restore(str(tmp_path / "oldck"), state)
+    for (n, a), b in zip(
+            zip(names, jax.tree_util.tree_leaves(restored)),
+            jax.tree_util.tree_leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_ply_roundtrip(tmp_path):
     pts = np.random.RandomState(0).rand(37, 3).astype(np.float32)
     path = str(tmp_path / "p.ply")

@@ -137,6 +137,38 @@ def test_dfsph_warm_start_converges_with_fewer_iterations():
         0.15 * max(d_c["density_max"], 1.0)
 
 
+def test_dfsph_warm_start_div_same_tolerance():
+    """dfsph_warm_start_div carries the divergence corrector's stiffness
+    across steps. It exists for pileup scenes (10+ divergence iterations);
+    on a dam break that converges in ~1 it must still reach the SAME
+    tolerance with physically equivalent results and no iteration blow-up
+    (the warm pre-correction counts as one iteration, so parity-converged
+    scenes may tie, never exceed by more than the occasional +1 step)."""
+    def drive(extra):
+        scene, state = load_scene(config=dam_break_cfg(
+            "dfsph", dt=1e-3, extra=extra), **FAST)
+        sim = simlib.Simulation(scene, state)
+        tot = 0.0
+        for _ in range(30):
+            diag = sim.step()
+            tot += float(diag["div_iters"])
+        return sim.state, {k: float(v) for k, v in diag.items()}, tot
+
+    s_c, d_c, iters_c = drive(None)
+    s_w, d_w, iters_w = drive({"dfsphWarmStartDiv": True})
+    # same convergence contract as the cold solver (DFSPH.py:14-18 eta)
+    eta = 1e-3 * 1000.0 / 1e-3
+    assert d_w["div_err"] <= eta + 1e-3
+    assert d_w["neighbor_overflow"] == 0
+    f = np.asarray(s_w.particles.material) == 1
+    assert np.isfinite(np.asarray(s_w.particles.pos)[f]).all()
+    # no blow-up: cumulative divergence iterations stay within the cold
+    # budget (+1/step worst case on already-1-iteration steps)
+    assert iters_w <= iters_c + 30
+    assert abs(d_w["density_max"] - d_c["density_max"]) < \
+        0.15 * max(d_c["density_max"], 1.0)
+
+
 def test_wcsph_eos_and_density_clamp():
     _, state, _ = settled("wcsph")
     p = state.particles

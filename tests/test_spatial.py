@@ -85,6 +85,20 @@ def test_spatial_warm_start_matches_single_device():
     assert int(diag1["solver_iters"]) == int(diag2["solver_iters"])
 
 
+def test_spatial_warm_div_matches_single_device():
+    """dfsph_warm_start_div under spatial decomposition: the kappa_v carry
+    must ride the global resort and the shard_map segments exactly like
+    dfsph_kappa — bit-identical trajectories."""
+    cfg = dam_cfg("dfsph")
+    cfg.config["Configuration"]["dfsphWarmStart"] = True
+    cfg.config["Configuration"]["dfsphWarmStartDiv"] = True
+    diag1, diag2, s1, s2 = run_both(cfg, pair_block=64, pair_chunk=32)
+    r1, r2 = sorted_fluid_pos(s1), sorted_fluid_pos(s2)
+    np.testing.assert_array_equal(r1, r2)
+    assert float(diag2["neighbor_overflow"]) == 0
+    assert int(diag1["div_iters"]) == int(diag2["div_iters"])
+
+
 def test_spatial_rigid_coupling_matches(tmp_path):
     """Rigid bodies under spatial decomposition: the psum'd Akinci wrenches,
     contact tables, and body extents (rigid/integrator.py) must make the

@@ -80,11 +80,14 @@ def main():
     variants = [
         ("cold", params),
         ("warm", dataclasses.replace(params, dfsph_warm_start=True)),
+        ("warm+warmdiv", dataclasses.replace(params, dfsph_warm_start=True,
+                                             dfsph_warm_start_div=True)),
         ("cold, contact pass OFF",
          dataclasses.replace(params, contact_channels=())),
-        ("warm, contact pass OFF",
+        ("warm+warmdiv, contact OFF",
          dataclasses.replace(params, contact_channels=(),
-                             dfsph_warm_start=True)),
+                             dfsph_warm_start=True,
+                             dfsph_warm_start_div=True)),
     ]
     results = {}
     for label, pv in variants:
@@ -94,8 +97,10 @@ def main():
     print(f"# contact-pass cost (cold delta): "
           f"{(base - results['cold, contact pass OFF'])*1e3:.1f} ms/step")
     print(f"# warm-start saving: {(base - results['warm'])*1e3:.1f} ms/step")
-    pps = n_fluid / results["warm"]
-    print(f"# warm fluid-p-steps/s at this regime: {pps:.3g}")
+    print(f"# warm-div extra saving: "
+          f"{(results['warm'] - results['warm+warmdiv'])*1e3:.1f} ms/step")
+    best = min(results['warm'], results['warm+warmdiv'])
+    print(f"# best fluid-p-steps/s at this regime: {n_fluid / best:.3g}")
 
 
 if __name__ == "__main__":

@@ -76,7 +76,7 @@ def main():
                 p = p.replace(density=dens)
                 sl["density"] = slab_pack(env, {"d": p.density})["d"]
             if k >= 5:
-                p, rigid, itr_v, err_v = dfsph.correct_divergence_error(
+                p, rigid, itr_v, err_v, _ = dfsph.correct_divergence_error(
                     p, state.rigid, alpha, env, sl, params)
                 state = state.replace(rigid=rigid)
             if k >= 6:
