@@ -59,19 +59,21 @@ class PairGeometry(struct.PyTreeNode):
 def cell_coords(pos: jnp.ndarray, params: SimParams) -> jnp.ndarray:
     """Integer cell coordinates, clamped into the grid.
 
-    The quotient is computed behind an ``optimization_barrier`` so XLA emits
-    the SAME isolated kernel in every program that bins particles: fused
-    into different consumers, (pos - start) / h compiles to different
-    fma/mul+add sequences whose f32 results differ in the last ulp — and a
-    perfect lattice puts many particles exactly on cell edges, where one ulp
-    flips floor() by a whole cell. Measured round 4: prepare()'s program and
-    the step's program disagreed on ~712k of 1.23M lattice particles, which
-    the incremental sort then treated as phantom cell-crossers (blowing its
-    crosser budget and zeroing records). The barrier pins one rounding for
-    all programs."""
+    The quotient is sandwiched between ``optimization_barrier``s so the
+    binning arithmetic cannot fuse with its producers OR consumers: fused
+    contexts compile (pos - start) / h to different fma/mul+add sequences
+    whose f32 results differ in the last ulp — and a perfect lattice puts
+    many particles exactly on cell edges, where one ulp flips floor() by a
+    whole cell. Measured round 4: prepare()'s program and the step's
+    program disagreed on ~712k of 1.23M lattice particles. NOTE the
+    barriers only make binning deterministic WITHIN a program family that
+    codegens the isolated fusion identically; cross-PROGRAM consumers (the
+    incremental sort comparing against prepare()'s layout) must not rely
+    on bit-equality at all — see make_dma_env(keep_layout=False)."""
     start = jnp.asarray(params.domain_start, jnp.float32)
     q = jax.lax.optimization_barrier(
-        (pos - start) / jnp.float32(params.support_radius))
+        (jax.lax.optimization_barrier(pos) - start)
+        / jnp.float32(params.support_radius))
     coords = jnp.floor(q).astype(jnp.int32)
     hi = jnp.asarray(params.grid_num, jnp.int32) - 1
     return jnp.clip(coords, 0, hi)

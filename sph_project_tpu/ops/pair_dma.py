@@ -125,12 +125,23 @@ def _occurrence_table(cells_sorted: jnp.ndarray, ncells: int):
 
 def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
                  params: SimParams,
-                 needs_output: jnp.ndarray | None = None) -> DmaPairEnv:
+                 needs_output: jnp.ndarray | None = None,
+                 keep_layout: bool = True) -> DmaPairEnv:
     """Plane/row window metadata from plane-padded sorted cell ids.
 
     ``needs_output``: per-particle bool; sub-blocks with no output-producing
     particle get empty hulls, and superblocks with none skip their DMAs
     entirely (static domain-box walls are the big win here).
+
+    ``keep_layout=False`` suppresses the incremental-sort layout snapshot
+    even when params.sort_incremental: an env built by a DIFFERENT program
+    than the step (prepare()) must not offer itself as an inc-sort baseline
+    — the step's own cell binning can disagree with the builder's on
+    lattice edge-sitters (cross-program fusion rounding), and the inc path
+    reads every disagreement as a cell-crosser (measured: ~712k phantom
+    crossers at the 1.23M headline scene, blowing the crosser budget and
+    zeroing records). Same-program comparisons (step k vs step k+1, the
+    only ones left when prepare abstains) are exact by construction.
     """
     n, dim = pos.shape
     g = params.grid_num
@@ -360,12 +371,12 @@ def make_dma_env(pos: jnp.ndarray, cells_sorted: jnp.ndarray,
 
     wtab = jnp.stack([st, en], axis=-1).reshape(NSB, G * 2 * 3 * R_CAP * 2)
     wtab = jnp.pad(wtab, ((0, nsb_pad - NSB), (0, 0)))
-    keep_layout = params.sort_incremental and not params.spmd_axis
+    keep = keep_layout and params.sort_incremental and not params.spmd_axis
     return DmaPairEnv(meta_pack=meta, wtab=wtab, overflow=overflow,
                       n=n, su=SU, group=G,
-                      cells_sorted=cells_sorted if keep_layout else None,
-                      t_start=t_start if keep_layout else None,
-                      t_end=t_end if keep_layout else None)
+                      cells_sorted=cells_sorted if keep else None,
+                      t_start=t_start if keep else None,
+                      t_end=t_end if keep else None)
 
 
 def estimate_su(pos: "np.ndarray", active: "np.ndarray", params: SimParams,
@@ -555,6 +566,32 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
     sb = pl.program_id(0)
     row = jax.lax.rem(sb, 8)
 
+    # superblocks with zero window tiles produce provably-zero outputs (no
+    # candidate tile ever enters the accumulators): skip their center DMA
+    # and all scalar slot loops. At the headline scene 37% of slots are
+    # static walls/pad, sorted contiguous — their superblocks take this
+    # path, cutting the engine's fixed per-pass floor.
+    ntot = meta_ref[row, OFF_NTOT]
+
+    @pl.when(ntot == 0)
+    def _zero_outputs():
+        for oref in out_refs:
+            oref[...] = jnp.zeros_like(oref)
+
+    @pl.when(ntot > 0)
+    def _body():
+        _kernel_body(meta_ref, wtab_ref, fmat, out_refs, win, cen, sem,
+                     csem, sb, row, ntot, kern=kern, out_names=out_names,
+                     window_rows=window_rows, center_rows=center_rows,
+                     params=params)
+
+
+def _kernel_body(meta_ref, wtab_ref, fmat, out_refs, win, cen, sem, csem,
+                 sb, row, ntot, *, kern, out_names, window_rows,
+                 center_rows, params):
+    G = params.pair_dma_group
+    SB = B * G
+
     cstart = pl.multiple_of(sb * SB, 128)
     cdma = pltpu.make_async_copy(fmat.at[:, pl.ds(cstart, SB)], cen, csem)
     cdma.start()
@@ -562,7 +599,6 @@ def _kernel(meta_ref, wtab_ref, fmat, *rest, kern, out_names, window_rows,
     # flat DMA tile list: tile i copies DT lanes from HBM lane tsrc[i] to
     # VMEM lane i*DT, all on one semaphore — one issue loop + one wait loop
     # instead of 2 x Q_CAP*3 per-slot fori_loops of scalar bookkeeping
-    ntot = meta_ref[row, OFF_NTOT]
 
     def issue(t, _):
         src = pl.multiple_of(meta_ref[row, OFF_TSRC + t], 128)

@@ -141,12 +141,14 @@ def produces_output(p: ParticleState, rigid: RigidState,
 
 
 def build_env(p: ParticleState, cells_sorted: jnp.ndarray,
-              produces: jnp.ndarray, params: SimParams):
+              produces: jnp.ndarray, params: SimParams,
+              keep_layout: bool = True):
     """Window metadata over cell-sorted particles (engine-dispatched)."""
     if params.resolved_pair_backend() == "pallas_dma":
         from .ops import pair_dma
         return pair_dma.make_dma_env(p.pos, cells_sorted, params,
-                                     needs_output=produces)
+                                     needs_output=produces,
+                                     keep_layout=keep_layout)
     needs_output = jnp.any(produces.reshape(-1, params.pair_block), axis=1)
     return pairs.make_pair_env(p.pos, cells_sorted, params,
                                needs_output=needs_output)
@@ -168,7 +170,14 @@ class Plumbing:
                                                    exact=exact_sort)
         p = state.particles
         produces = produces_output(p, state.rigid, params)
-        env = build_env(p, cells_sorted, produces, params)
+        # an exact-sort caller is prepare(): a DIFFERENT compiled program
+        # from the step, whose cell binning can disagree with the step's on
+        # lattice edge-sitters (fusion rounding). Its env must not offer an
+        # incremental-sort baseline — the first step then takes the full
+        # sort path, and every later step compares cells computed by the
+        # SAME program (exact).
+        env = build_env(p, cells_sorted, produces, params,
+                        keep_layout=not exact_sort)
         env = env.replace(overflow=env.overflow + sort_ovf,
                           sort_overflow=sort_ovf)
         return state, env
