@@ -86,6 +86,10 @@ class DmaPairEnv(struct.PyTreeNode):
     # (zeroed particle records — corruption, not just missed candidates);
     # kept separately so diagnostics can tell the two apart
     sort_overflow: jnp.ndarray = None
+    # incremental-sort crosser-budget component of sort_overflow (the rest
+    # is the permute kernel's sparse-fix shortfall) — split so a hardware
+    # diag can tell WHICH budget blew
+    sort_overflow_inc: jnp.ndarray = None
     # layout snapshot for the NEXT step's incremental sort permutation
     # (params.sort_incremental): the exact cell ids this layout was sorted
     # by + their occurrence tables (neighbors.py
@@ -93,6 +97,13 @@ class DmaPairEnv(struct.PyTreeNode):
     cells_sorted: jnp.ndarray = None
     t_start: jnp.ndarray = None
     t_end: jnp.ndarray = None
+    # optional second env over the SAME layout whose windows cover only
+    # dynamic-rigid producers — the rigid contact pass's (C+1)*(1+dim)
+    # output channels spill VREGs, so running it over the shared env costs
+    # ~7x a normal pass (measured 706 ms/step at coupling_nine_rigid);
+    # against this env, fluid-only superblocks have empty hulls and the
+    # zero-tile skip makes them free
+    contact_env: "DmaPairEnv" = None
 
     # static config riders (stored as leaves would break jit; recompute)
     n: int = struct.field(pytree_node=False, default=0)

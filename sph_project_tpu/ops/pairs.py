@@ -66,6 +66,9 @@ class PairEnv(struct.PyTreeNode):
     # (zeroed particle records — corruption, not just missed candidates);
     # kept separately so diagnostics can tell the two apart
     sort_overflow: jnp.ndarray = None
+    # incremental-sort crosser-budget component (diagnostics split; the DMA
+    # engine's DmaPairEnv carries the same field)
+    sort_overflow_inc: jnp.ndarray = None
 
     @property
     def nb(self) -> int:

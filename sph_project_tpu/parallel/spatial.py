@@ -269,7 +269,7 @@ def spatial_step_fn(params: SimParams, mesh: Mesh, template: SimState):
                          params.n_pad)
 
     def resort(state):
-        state, cells, _ = simlib.sort_state(state, params_sp)
+        state, cells, _, _ = simlib.sort_state(state, params_sp)
         return state.replace(cached_neighbors=cells)
 
     def smap(fn):

@@ -84,8 +84,10 @@ def rigid_contact_wrench(
         {"material": p.material, "object_id": p.object_id, "vel": p.vel},
         {"pos": p.pos, "material": p.material, "object_id": p.object_id,
          "vel": p.vel}, params)["f"]
-    arm = p.pos - rigid.com[jnp.clip(p.object_id, 0, params.max_objects - 1)]
-    torque_pp = pair_cross(arm, force_pp, params.dim)
+    from ..solvers.common import object_gather
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    com_i = object_gather({"com": rigid.com}, obj, params.max_objects)["com"]
+    torque_pp = pair_cross(p.pos - com_i, force_pp, params.dim)
     return reduce_wrench(force_pp, torque_pp, p, params)
 
 
@@ -142,10 +144,12 @@ def rigid_contact_data(p: ParticleState, rigid: RigidState, env,
                 out[f"cn_{tag}{d}"] = cx.sum(pen * R[d] * inv_dist, sel)
         return out
 
+    from ..solvers.common import object_gather
     oid = p.object_id.astype(jnp.float32)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    static_body = ((rigid.obj_material[obj] == MATERIAL_RIGID) &
-                   (rigid.is_dynamic[obj] == 0) &
+    t = object_gather({"m": rigid.obj_material, "dyn": rigid.is_dynamic},
+                      obj, params.max_objects)
+    static_body = ((t["m"] == MATERIAL_RIGID) & (t["dyn"] == 0) &
                    (p.object_id >= 0)).astype(jnp.float32)
     return pair_exec.run(
         kern, env,
@@ -180,21 +184,21 @@ def resolve_body_contacts(
     C = len(tags)
     obj = jnp.clip(p.object_id, 0, O - 1)
 
-    def seg(x):
-        return jax.ops.segment_sum(x, obj, num_segments=O)
-
-    W_cols, N_cols, Pt_cols, cnt_cols = [], [], [], []
+    from ..solvers.common import object_reduce
+    packed = {}
     for tag in tags:
         w_c = contact[f"cw_{tag}"]                          # (N,)
-        n_c = contact[f"cn_{tag}"]                          # (N, dim)
-        W_cols.append(seg(w_c))
-        N_cols.append(seg(n_c))
-        Pt_cols.append(seg(w_c[:, None] * p.pos))
-        cnt_cols.append(seg((w_c > 1e-12).astype(jnp.float32)))
-    W = jnp.stack(W_cols, -1).reshape(O * C)                # (O*C,)
-    N = jnp.stack(N_cols, 1).reshape(O * C, dim)
-    Pt = jnp.stack(Pt_cols, 1).reshape(O * C, dim)
-    cnt = jnp.stack(cnt_cols, -1).reshape(O * C)
+        packed[f"w_{tag}"] = w_c
+        packed[f"n_{tag}"] = contact[f"cn_{tag}"]           # (N, dim)
+        packed[f"p_{tag}"] = w_c[:, None] * p.pos
+        packed[f"c_{tag}"] = (w_c > 1e-12).astype(jnp.float32)
+    # ONE one-hot MXU contraction for all 4*(C+1) per-object reductions
+    # (the segment_sum form measured ~26 ms per (1M, 3) reduction on v5e)
+    red = object_reduce(packed, obj, O)
+    W = jnp.stack([red[f"w_{t}"] for t in tags], -1).reshape(O * C)
+    N = jnp.stack([red[f"n_{t}"] for t in tags], 1).reshape(O * C, dim)
+    Pt = jnp.stack([red[f"p_{t}"] for t in tags], 1).reshape(O * C, dim)
+    cnt = jnp.stack([red[f"c_{t}"] for t in tags], -1).reshape(O * C)
     if params.spmd_axis:
         W, N, Pt, cnt = (jax.lax.psum(x, params.spmd_axis)
                          for x in (W, N, Pt, cnt))
@@ -336,10 +340,12 @@ def rigid_body_step(
     # per-body particle extent along each axis, via segment min/max of the
     # body's particles in their *new* pose x = com + R q
     O = params.max_objects
+    from ..solvers.common import object_gather
     obj = jnp.clip(p.object_id, 0, O - 1)
     is_body = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & (p.object_id >= 0)
-    q = p.rigid_rest_pos - rigid.com0[obj]
-    x_new = com[obj] + jnp.einsum("nij,nj->ni", rot[obj], q)
+    t = object_gather({"com0": rigid.com0, "com": com, "rot": rot}, obj, O)
+    q = p.rigid_rest_pos - t["com0"]
+    x_new = t["com"] + jnp.einsum("nij,nj->ni", t["rot"], q)
     seg = jnp.where(is_body, obj, O)
     big = jnp.float32(1e9)
     x_masked_min = jnp.where(is_body[:, None], x_new, big)

@@ -44,19 +44,22 @@ def shape_matching_step(
     dt = params.dt
     g = jnp.asarray(params.gravity, jnp.float32)
 
+    from ..solvers.common import object_gather, object_reduce
     sel = (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & (p.object_id >= 0)
     obj = jnp.clip(p.object_id, 0, O - 1)
-    seg = jnp.where(sel, obj, O)
 
     # free integration: gravity + body force at COM + (unit-inertia) torque
-    # as a spin contribution at each particle's arm
+    # as a spin contribution at each particle's arm (body tables read via
+    # one one-hot contraction — row gathers run at scalar rate on TPU)
     inv_m = jnp.where(rigid.mass > 0, 1.0 / jnp.maximum(rigid.mass, 1e-12), 0.0)
-    acc = g[None] + rigid.force[obj] * inv_m[obj][:, None]
-    arm = p.pos - rigid.com[obj]
+    tb = object_gather({"f": rigid.force * inv_m[:, None], "com": rigid.com,
+                        "tq": rigid.torque}, obj, O)
+    acc = g[None] + tb["f"]
+    arm = p.pos - tb["com"]
     if params.dim == 3:
-        spin = jnp.cross(rigid.torque[obj], arm)
+        spin = jnp.cross(tb["tq"], arm)
     else:
-        w = rigid.torque[obj][:, 0]
+        w = tb["tq"][:, 0]
         spin = jnp.stack([-w * arm[:, 1], w * arm[:, 0]], axis=-1)
     vel = jnp.where(sel[:, None], p.vel + dt * (acc + spin), p.vel)
     pos = jnp.where(sel[:, None], p.pos + dt * vel, p.pos)
@@ -75,37 +78,34 @@ def shape_matching_step(
     def gsum(x):
         return jax.lax.psum(x, params.spmd_axis) if params.spmd_axis else x
 
-    w = sel.astype(jnp.float32)
-    cnt = gsum(jax.ops.segment_sum(w, seg, num_segments=O + 1)[:O])
+    red = object_reduce(
+        {"w": sel.astype(jnp.float32), "pos": pos,
+         "rest": p.rigid_rest_pos}, obj, O, sel=sel)
+    cnt = gsum(red["w"])
     cnt_safe = jnp.maximum(cnt, 1.0)
-    com = gsum(jnp.stack([
-        jax.ops.segment_sum(jnp.where(sel, pos[:, d], 0.0), seg, O + 1)[:O]
-        for d in range(params.dim)], axis=-1)) / cnt_safe[:, None]
-    com0 = gsum(jnp.stack([
-        jax.ops.segment_sum(jnp.where(sel, p.rigid_rest_pos[:, d], 0.0),
-                            seg, O + 1)[:O]
-        for d in range(params.dim)], axis=-1)) / cnt_safe[:, None]
+    com = gsum(red["pos"]) / cnt_safe[:, None]
+    com0 = gsum(red["rest"]) / cnt_safe[:, None]
 
     # covariance A = sum (x - com)(q - com0)^T per body
-    q = p.rigid_rest_pos - com0[obj]
-    x = pos - com[obj]
-    A = gsum(jnp.stack([
-        jnp.stack([
-            jax.ops.segment_sum(jnp.where(sel, x[:, i] * q[:, j], 0.0),
-                                seg, O + 1)[:O]
-            for j in range(params.dim)], axis=-1)
-        for i in range(params.dim)], axis=-2))                # (O, d, d)
+    tc = object_gather({"com": com, "com0": com0}, obj, O)
+    q = p.rigid_rest_pos - tc["com0"]
+    x = pos - tc["com"]
+    xq = (x[:, :, None] * q[:, None, :]).reshape(x.shape[0], -1)
+    A = gsum(object_reduce({"a": xq}, obj, O, sel=sel)["a"]).reshape(
+        O, params.dim, params.dim)
     has = cnt > 0
     eye = jnp.eye(params.dim, dtype=jnp.float32)[None]
     A = jnp.where(has[:, None, None], A, eye)
     R = _polar_rotation(A)
 
     # project particles onto the fitted transform; velocity from the motion
-    goal = com[obj] + jnp.einsum("nij,nj->ni", R[obj], q)
+    goal = tc["com"] + jnp.einsum(
+        "nij,nj->ni", object_gather({"r": R}, obj, O)["r"], q)
     new_vel = (goal - p.pos) / dt
     # restitution-0 walls: kill the contact-axis velocity of contacting bodies
     # (the clamp+projection alone would make bounces elastic) and damp the
     # rest by wall_friction, matching the integrator backend's behavior
+    seg = jnp.where(sel, obj, O)
     hit_axis = jnp.stack([
         jax.ops.segment_max(jnp.where(sel, hit[:, d].astype(jnp.int32), 0),
                             seg, num_segments=O + 1)[:O]
@@ -113,8 +113,10 @@ def shape_matching_step(
     if params.spmd_axis:
         hit_axis = jax.lax.pmax(hit_axis, params.spmd_axis)
     body_hit = jnp.any(hit_axis > 0, axis=-1)
-    new_vel = jnp.where(hit_axis[obj] > 0, 0.0, new_vel)
-    new_vel = new_vel * jnp.where(body_hit[obj], 1.0 - params.wall_friction,
+    th = object_gather(
+        {"hx": hit_axis, "bh": body_hit.astype(jnp.int32)}, obj, O)
+    new_vel = jnp.where(th["hx"] > 0, 0.0, new_vel)
+    new_vel = new_vel * jnp.where(th["bh"] > 0, 1.0 - params.wall_friction,
                                   1.0)[:, None]
     p = p.replace(
         pos=jnp.where(sel[:, None], goal, p.pos),

@@ -120,7 +120,7 @@ def sort_state(state: SimState, params: SimParams,
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p), cells[perm], overflow + inc_ovf
+    return state.replace(particles=p), cells[perm], overflow, inc_ovf
 
 
 def produces_output(p: ParticleState, rigid: RigidState,
@@ -135,20 +135,45 @@ def produces_output(p: ParticleState, rigid: RigidState,
         # per-step (N,)-gather from the object table)
         return p.material == MATERIAL_FLUID
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    dyn_rigid_body = (p.is_dynamic > 0) & \
-        (rigid.obj_material[obj] == MATERIAL_RIGID)
+    obj_mat = common.object_gather({"m": rigid.obj_material}, obj,
+                                   params.max_objects)["m"]
+    dyn_rigid_body = (p.is_dynamic > 0) & (obj_mat == MATERIAL_RIGID)
     return (p.material == MATERIAL_FLUID) | dyn_rigid_body
+
+
+def dynamic_rigid_mask(p: ParticleState, rigid: RigidState,
+                       params: SimParams) -> jnp.ndarray:
+    """Dynamic-rigid-body particles (true bodies, not emitter placeholders:
+    their OBJECT material must be rigid)."""
+    obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
+    obj_mat = common.object_gather({"m": rigid.obj_material}, obj,
+                                   params.max_objects)["m"]
+    return (p.material == MATERIAL_RIGID) & (p.is_dynamic > 0) & \
+        (obj_mat == MATERIAL_RIGID)
 
 
 def build_env(p: ParticleState, cells_sorted: jnp.ndarray,
               produces: jnp.ndarray, params: SimParams,
-              keep_layout: bool = True):
-    """Window metadata over cell-sorted particles (engine-dispatched)."""
+              keep_layout: bool = True,
+              contact_produces: jnp.ndarray | None = None):
+    """Window metadata over cell-sorted particles (engine-dispatched).
+
+    ``contact_produces``: when given (dynamic-rigid coupling scenes), a
+    second env over the same layout is attached as ``env.contact_env``,
+    its windows covering only these producers — the rigid contact pass's
+    many output channels make it ~7x a normal pass, so it must not scan
+    fluid superblocks (rigid/integrator.py rigid_contact_data)."""
     if params.resolved_pair_backend() == "pallas_dma":
         from .ops import pair_dma
-        return pair_dma.make_dma_env(p.pos, cells_sorted, params,
-                                     needs_output=produces,
-                                     keep_layout=keep_layout)
+        env = pair_dma.make_dma_env(p.pos, cells_sorted, params,
+                                    needs_output=produces,
+                                    keep_layout=keep_layout)
+        if contact_produces is not None:
+            envc = pair_dma.make_dma_env(p.pos, cells_sorted, params,
+                                         needs_output=contact_produces,
+                                         keep_layout=False)
+            env = env.replace(contact_env=envc)
+        return env
     needs_output = jnp.any(produces.reshape(-1, params.pair_block), axis=1)
     return pairs.make_pair_env(p.pos, cells_sorted, params,
                                needs_output=needs_output)
@@ -166,8 +191,9 @@ class Plumbing:
         """Sort every per-particle array by grid cell and build the dense
         pair windows (the reference's prepare_neighborhood_search,
         base_container.py:544-547)."""
-        state, cells_sorted, sort_ovf = sort_state(state, params,
-                                                   exact=exact_sort)
+        state, cells_sorted, perm_ovf, inc_ovf = sort_state(
+            state, params, exact=exact_sort)
+        sort_ovf = perm_ovf + inc_ovf
         p = state.particles
         produces = produces_output(p, state.rigid, params)
         # an exact-sort caller is prepare(): a DIFFERENT compiled program
@@ -176,10 +202,17 @@ class Plumbing:
         # incremental-sort baseline — the first step then takes the full
         # sort path, and every later step compares cells computed by the
         # SAME program (exact).
+        contact_produces = None
+        if (params.has_dynamic_rigid and not params.spmd_axis and
+                (params.contact_channels or
+                 params.rigid_solver == "shape_matching")):
+            contact_produces = dynamic_rigid_mask(p, state.rigid, params)
         env = build_env(p, cells_sorted, produces, params,
-                        keep_layout=not exact_sort)
+                        keep_layout=not exact_sort,
+                        contact_produces=contact_produces)
         env = env.replace(overflow=env.overflow + sort_ovf,
-                          sort_overflow=sort_ovf)
+                          sort_overflow=sort_ovf,
+                          sort_overflow_inc=inc_ovf)
         return state, env
 
     @staticmethod
@@ -233,10 +266,17 @@ class Plumbing:
         # integration and the per-particle (com, rot) renewal gathers
         # entirely — both are masked no-ops when no body is dynamic
         if params.has_rigid and params.has_dynamic_rigid:
+            # the contact passes only produce output for dynamic-rigid
+            # particles; against the shared env their many channels scan
+            # every fluid superblock (measured 706 ms/step at the
+            # nine-rigid scene) — use the rigid-producer env when built
+            env_c = getattr(env, "contact_env", None)
+            env_c = env if env_c is None else env_c
             if shape_matching:
                 # particles integrate freely here, so body-level impulses
                 # don't apply; DEM springs feed the free integration instead
-                cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env, params)
+                cf, ct = rigidlib.rigid_contact_wrench(p, rigid, env_c,
+                                                       params)
                 rigid = rigid.replace(force=rigid.force + cf,
                                       torque=rigid.torque + ct)
                 from .rigid import shape_matching as smlib
@@ -244,7 +284,8 @@ class Plumbing:
             else:
                 # contact impulses require a dynamic body; without one the
                 # pair pass could only produce inert static-static records
-                contact = (rigidlib.rigid_contact_data(p, rigid, env, params)
+                contact = (rigidlib.rigid_contact_data(p, rigid, env_c,
+                                                       params)
                            if params.contact_channels else None)
                 rigid = rigidlib.rigid_body_step(p, rigid, params,
                                                  contact=contact)
@@ -298,6 +339,9 @@ class Plumbing:
             neighbor_overflow=common.global_sum(env.overflow, params).astype(
                 jnp.int32),
         )
+        soi = getattr(env, "sort_overflow_inc", None)
+        if soi is not None:
+            d["sort_overflow_inc"] = soi
         so = getattr(env, "sort_overflow", None)
         d["sort_overflow"] = (
             common.global_sum(so, params).astype(jnp.int32)

@@ -325,3 +325,38 @@ def test_shape_matching_backend_stays_rigid(cube_obj):
     assert com[1] < 0.2, "box never fell"
     vel = np.asarray(sim.state.rigid.vel[0])
     assert np.linalg.norm(vel) < 0.2
+
+
+def test_object_gather_exact_and_reduce_close():
+    """object_gather must reproduce table[obj] BITWISE (one nonzero per
+    one-hot row; HIGHEST precision reconstructs f32 exactly — the rigid
+    pose renewal relies on it), and object_reduce must match segment_sum
+    to reduction-reassociation tolerance (solvers/common.py)."""
+    import jax
+    rng = np.random.RandomState(7)
+    N, O = 4096, 32
+    obj = jnp.asarray(rng.randint(-1, O, size=N), jnp.int32)
+    clip = jnp.clip(obj, 0, O - 1)
+    tables = {
+        "f": jnp.asarray(rng.randn(O, 3).astype(np.float32) * 1e3),
+        "r": jnp.asarray(rng.randn(O, 3, 3).astype(np.float32)),
+        "i": jnp.asarray(rng.randint(0, 5, size=(O,)), jnp.int32),
+    }
+    out = jax.jit(lambda o: common.object_gather(tables, o, O))(clip)
+    for k in tables:
+        np.testing.assert_array_equal(np.asarray(out[k]),
+                                      np.asarray(tables[k][clip]))
+        assert out[k].dtype == tables[k].dtype
+
+    vals = {"v": jnp.asarray(rng.randn(N, 3).astype(np.float32)),
+            "s": jnp.asarray(rng.randn(N).astype(np.float32))}
+    sel = obj >= 0
+    red = jax.jit(
+        lambda o, s: common.object_reduce(vals, o, O, sel=s))(clip, sel)
+    seg = jnp.where(sel, clip, O)
+    ref_v = np.stack([
+        np.asarray(jax.ops.segment_sum(
+            jnp.where(sel, vals["v"][:, d], 0.0), seg, num_segments=O + 1))[:O]
+        for d in range(3)], axis=-1)
+    np.testing.assert_allclose(np.asarray(red["v"]), ref_v,
+                               rtol=1e-5, atol=1e-4)

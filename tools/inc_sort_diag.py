@@ -22,7 +22,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="data/scenes/large_scale_dfsph.json")
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=120)
     ap.add_argument("--warm", action="store_true", default=True)
     args = ap.parse_args()
 
@@ -45,12 +45,15 @@ def main():
         acc = int(diag.get("sort_overflow_acc", diag.get("sort_overflow", 0)))
         delta = acc - prev_acc
         prev_acc = acc
+        inc = int(diag.get("sort_overflow_inc", -1))
         wov = int(diag.get("window_overflow_max", 0))
         rho = float(diag.get("density_max", float("nan")))
         di = int(diag.get("solver_iters", 0))
-        print(f"step {k:3d}: sort_ovf +{delta:8d} (acc {acc:9d})  "
-              f"win_ovf_max {wov:7d}  rho_max {rho:8.1f}  iters {di}",
-              flush=True)
+        if delta or k % 10 == 0 or k < 3:
+            print(f"step {k:3d}: sort_ovf +{delta:8d} (acc {acc:9d}, "
+                  f"inc-component this step {inc})  "
+                  f"win_ovf_max {wov:7d}  rho_max {rho:8.1f}  iters {di}",
+                  flush=True)
     ok = prev_acc == 0
     print(f"# RESULT: {'CLEAN' if ok else 'CORRUPTED'} "
           f"(total sort overflow {prev_acc})")

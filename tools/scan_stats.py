@@ -40,7 +40,7 @@ def main():
         scene, state = bench.build_synthetic(args.n, backend="pallas_dma")
     params = scene.params
     state = jax.jit(lambda s: simlib.prepare(s, params))(state)
-    state, cells, _ = simlib.sort_state(state, params)
+    state, cells, _, _ = simlib.sort_state(state, params)
     p = state.particles
     produces = simlib.produces_output(p, state.rigid, params)
     env = pair_dma.make_dma_env(p.pos, cells, params, needs_output=produces)

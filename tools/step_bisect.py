@@ -58,7 +58,7 @@ def main():
                                                    state, params)
             p = common.update_fluid_velocity(p, params)
             if k >= 2:
-                p, rigid, itr_d, err_d = dfsph.correct_density_error(
+                p, rigid, itr_d, err_d, _ = dfsph.correct_density_error(
                     p, rigid, state.dfsph_alpha, env0, sl0, params)
             p = common.update_fluid_position(p, rigid, params)
             state = state.replace(particles=p, rigid=rigid)
