@@ -137,11 +137,17 @@ class SimParams:
     # entries exceed the kernel's sparse-fix budget use exact gathers instead
     sort_kernel: bool = True
     # build the per-step sort permutation incrementally from the previous
-    # layout (cell-crossers only) instead of a full stable argsort; crossers
-    # beyond the n_pad//4 budget are counted into sort overflow (loud) and
-    # the layout degrades. Default off until hardware-validated (see
-    # tools/sort_cost.py and ROADMAP).
+    # layout (cell-crossers only) instead of a full stable argsort. HYBRID:
+    # the step counts the crossers exactly and lax.cond-selects the full
+    # stable argsort whenever they exceed the static budget (the coherent
+    # fall moves ~n_fluid records in one step), so the incremental branch's
+    # record-zeroing overflow is structurally unreachable. Default off until
+    # hardware-validated (see tools/inc_sort_diag.py and ROADMAP).
     sort_incremental: bool = False
+    # crosser budget override for the incremental sort: 0 = auto
+    # (max(4096, n_pad//4)); tests force the full-sort branch with tiny
+    # values, tuning can shrink the K-sized mover sort
+    sort_inc_budget: int = 0
     rigid_solver: str = "integrator"       # "integrator" | "shape_matching"
     contact_restitution: float = 0.0       # body-pair impulse contact (Bullet default)
     contact_stiffness: float = 1e5         # DEM spring (shape-matching backend)

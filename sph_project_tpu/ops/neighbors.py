@@ -153,6 +153,35 @@ def plane_padded_permutation(cells: jnp.ndarray,
     return perm
 
 
+def inc_sort_budget(n: int, params: SimParams) -> int:
+    """Static crosser budget of the incremental sort (K below).
+
+    ``params.sort_inc_budget`` overrides (tests force the hybrid's full-sort
+    branch with a tiny budget; tuning can shrink the K-sized mover sort once
+    hardware crosser counts at settled state are known)."""
+    if params.sort_inc_budget:
+        return int(params.sort_inc_budget)
+    return max(4096, n // 4)
+
+
+def crosser_counts(cells_new: jnp.ndarray, cells_old: jnp.ndarray,
+                   params: SimParams):
+    """(n_mov, n_lv): how many records the incremental permutation would
+    have to move — EXACTLY the counts its compact() sees. sort_state's
+    hybrid uses these as the lax.cond predicate: the incremental branch is
+    entered only when both fit the static budget, so its record-zeroing
+    overflow mode is structurally unreachable (the coherent fall, where a
+    whole body crosses a z-cell in the same step and movers ~= n_fluid,
+    takes the full-sort branch instead)."""
+    ncells = params.num_cells
+    live_n = cells_new < ncells
+    live_o = cells_old < ncells
+    stay = live_n & (cells_new == cells_old)
+    n_mov = jnp.sum(live_n & ~stay).astype(jnp.int32)
+    n_lv = jnp.sum(live_o & (cells_new != cells_old)).astype(jnp.int32)
+    return n_mov, n_lv
+
+
 def incremental_plane_padded_permutation(
         cells_new: jnp.ndarray, cells_old: jnp.ndarray,
         t_start: jnp.ndarray, t_end: jnp.ndarray, params: SimParams):
@@ -182,7 +211,7 @@ def incremental_plane_padded_permutation(
     for s in g[1:]:
         plane_stride *= s
     gx = g[0]
-    K = max(4096, n // 4)
+    K = inc_sort_budget(n, params)
     i32 = jnp.int32
     idx = jnp.arange(n, dtype=i32)
 

@@ -90,6 +90,11 @@ class DmaPairEnv(struct.PyTreeNode):
     # is the permute kernel's sparse-fix shortfall) — split so a hardware
     # diag can tell WHICH budget blew
     sort_overflow_inc: jnp.ndarray = None
+    # hybrid inc-sort telemetry: max(movers, leavers) this step and whether
+    # the incremental branch was taken (0 = the crossers exceeded the
+    # budget and the step full-sorted)
+    sort_crossers: jnp.ndarray = None
+    sort_inc_taken: jnp.ndarray = None
     # layout snapshot for the NEXT step's incremental sort permutation
     # (params.sort_incremental): the exact cell ids this layout was sorted
     # by + their occurrence tables (neighbors.py

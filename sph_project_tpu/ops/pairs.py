@@ -69,6 +69,9 @@ class PairEnv(struct.PyTreeNode):
     # incremental-sort crosser-budget component (diagnostics split; the DMA
     # engine's DmaPairEnv carries the same field)
     sort_overflow_inc: jnp.ndarray = None
+    # hybrid inc-sort telemetry (see DmaPairEnv)
+    sort_crossers: jnp.ndarray = None
+    sort_inc_taken: jnp.ndarray = None
 
     @property
     def nb(self) -> int:

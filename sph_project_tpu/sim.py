@@ -76,7 +76,9 @@ def sort_state(state: SimState, params: SimParams,
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
-    inc_ovf = jnp.int32(0)
+    sdiag = dict(sort_overflow_inc=jnp.int32(0),
+                 sort_crossers=jnp.int32(0),
+                 sort_inc_taken=jnp.int32(0))
     if params.resolved_pair_backend() == "pallas_dma":
         # plane-padded layout: sub-blocks never cross x-planes, which keeps
         # the DMA engine's rectangle hulls compact (ops/neighbors.py)
@@ -84,8 +86,35 @@ def sort_state(state: SimState, params: SimParams,
         if (params.sort_incremental and not exact and not params.spmd_axis
                 and prev is not None
                 and getattr(prev, "cells_sorted", None) is not None):
-            perm, inc_ovf = nblib.incremental_plane_padded_permutation(
-                cells, prev.cells_sorted, prev.t_start, prev.t_end, params)
+            # HYBRID: count the crossers exactly (cheap elementwise +
+            # reduce) and take the incremental branch only when both fit
+            # the static budget — the coherent fall crosses ~n_fluid cells
+            # in single steps (measured: full-protocol overflow 346k,
+            # bench_r4c_warm_inc.log) and MUST full-sort; the settled regime
+            # crosses a few thousand and rides the cheap branch. The cond
+            # sits at the step's one serial dependency point (everything
+            # downstream consumes perm), so its scheduling cost is the
+            # smallest a mid-step cond can be — hardware A/B'd vs the
+            # always-full sort before default-on.
+            n_mov, n_lv = nblib.crosser_counts(cells, prev.cells_sorted,
+                                               params)
+            K = nblib.inc_sort_budget(cells.shape[0], params)
+            fits = (n_mov <= K) & (n_lv <= K)
+
+            def _inc(_):
+                perm, ovf = nblib.incremental_plane_padded_permutation(
+                    cells, prev.cells_sorted, prev.t_start, prev.t_end,
+                    params)
+                return perm, ovf
+
+            def _full(_):
+                return (nblib.plane_padded_permutation(cells, params),
+                        jnp.int32(0))
+
+            perm, inc_ovf = jax.lax.cond(fits, _inc, _full, None)
+            sdiag = dict(sort_overflow_inc=inc_ovf,
+                         sort_crossers=jnp.maximum(n_mov, n_lv),
+                         sort_inc_taken=fits.astype(jnp.int32))
         else:
             perm = nblib.plane_padded_permutation(cells, params)
     else:
@@ -120,7 +149,7 @@ def sort_state(state: SimState, params: SimParams,
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p), cells[perm], overflow, inc_ovf
+    return state.replace(particles=p), cells[perm], overflow, sdiag
 
 
 def produces_output(p: ParticleState, rigid: RigidState,
@@ -191,8 +220,9 @@ class Plumbing:
         """Sort every per-particle array by grid cell and build the dense
         pair windows (the reference's prepare_neighborhood_search,
         base_container.py:544-547)."""
-        state, cells_sorted, perm_ovf, inc_ovf = sort_state(
+        state, cells_sorted, perm_ovf, sdiag = sort_state(
             state, params, exact=exact_sort)
+        inc_ovf = sdiag["sort_overflow_inc"]
         sort_ovf = perm_ovf + inc_ovf
         p = state.particles
         produces = produces_output(p, state.rigid, params)
@@ -212,7 +242,9 @@ class Plumbing:
                         contact_produces=contact_produces)
         env = env.replace(overflow=env.overflow + sort_ovf,
                           sort_overflow=sort_ovf,
-                          sort_overflow_inc=inc_ovf)
+                          sort_overflow_inc=inc_ovf,
+                          sort_crossers=sdiag["sort_crossers"],
+                          sort_inc_taken=sdiag["sort_inc_taken"])
         return state, env
 
     @staticmethod
@@ -342,6 +374,10 @@ class Plumbing:
         soi = getattr(env, "sort_overflow_inc", None)
         if soi is not None:
             d["sort_overflow_inc"] = soi
+        for k in ("sort_crossers", "sort_inc_taken"):
+            v = getattr(env, k, None)
+            if v is not None:
+                d[k] = v
         so = getattr(env, "sort_overflow", None)
         d["sort_overflow"] = (
             common.global_sum(so, params).astype(jnp.int32)

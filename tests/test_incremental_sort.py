@@ -112,48 +112,90 @@ def test_incremental_overflow_is_loud():
     assert int(ovf) > 0
 
 
+def test_crosser_counts_match_compaction():
+    """crosser_counts (the hybrid's cond predicate) must count EXACTLY what
+    incremental_plane_padded_permutation's compact() sees — otherwise the
+    cond could admit an over-budget step into the zeroing branch."""
+    rng = np.random.default_rng(7)
+    params = _params(900)
+    n = params.n_pad
+    cells0 = jnp.asarray(
+        np.where(rng.random(n) < 0.8,
+                 rng.integers(0, params.num_cells, size=n),
+                 params.num_cells).astype(np.int32))
+    cells_old = cells0[nb.plane_padded_permutation(cells0, params)]
+    cells_new = _mutate(rng, cells_old, params, frac_move=0.2, frac_flip=0.05)
+    n_mov, n_lv = nb.crosser_counts(cells_new, cells_old, params)
+    co = np.asarray(cells_old)
+    cn = np.asarray(cells_new)
+    ncells = params.num_cells
+    live_n, live_o = cn < ncells, co < ncells
+    stay = live_n & (cn == co)
+    assert int(n_mov) == int((live_n & ~stay).sum())
+    assert int(n_lv) == int((live_o & (cn != co)).sum())
+
+
+def _dam_break_cfg():
+    from sph_project_tpu.utils.config import SimConfig
+    return SimConfig(config={
+        "Configuration": {
+            "domainStart": [0, 0, 0], "domainEnd": [0.5, 0.5, 0.5],
+            "addDomainBox": False, "particleRadius": 0.01,
+            "density0": 1000, "gravitation": [0, -9.81, 0],
+            "simulationMethod": "dfsph", "viscosityMethod": "standard",
+            "timeStepSize": 1e-3, "viscosity": 0.05,
+        },
+        "FluidBlocks": [{
+            "objectId": 0, "start": [0.08, 0.05, 0.08],
+            "end": [0.3, 0.28, 0.3], "translation": [0, 0, 0],
+            "scale": [1, 1, 1], "velocity": [0, 0, 0],
+            "density": 1000.0, "color": [0, 0, 0], "entryTime": -1.0}],
+    })
+
+
+def _run_dam_break(steps=10, **scene_kw):
+    from sph_project_tpu import sim as simlib
+    from sph_project_tpu.scene import load_scene
+
+    scene, state = load_scene(config=_dam_break_cfg(),
+                              pair_backend="pallas_dma", **scene_kw)
+    sim = simlib.Simulation(scene, state)
+    diag = None
+    taken = []
+    for _ in range(steps):
+        diag = sim.step()
+        taken.append(int(diag.get("sort_inc_taken", -1)))
+    assert int(diag["neighbor_overflow"]) == 0
+    assert int(diag.get("sort_overflow_acc", 0)) == 0
+    p = sim.state.particles
+    live = np.asarray(p.material) != 0
+    pos = np.asarray(p.pos)[live]
+    return pos[np.lexsort(pos.T)], taken
+
+
 @pytest.mark.slow
 def test_incremental_sort_end_to_end_physics():
     """10 dam-break steps with sort_incremental on vs off: same physics
     (intra-cell summation order differs, so tolerance not bit-equality)."""
-    import jax
-    from sph_project_tpu import sim as simlib
-    from sph_project_tpu.scene import load_scene
-    from sph_project_tpu.utils.config import SimConfig
-
-    def cfg():
-        return SimConfig(config={
-            "Configuration": {
-                "domainStart": [0, 0, 0], "domainEnd": [0.5, 0.5, 0.5],
-                "addDomainBox": False, "particleRadius": 0.01,
-                "density0": 1000, "gravitation": [0, -9.81, 0],
-                "simulationMethod": "dfsph", "viscosityMethod": "standard",
-                "timeStepSize": 1e-3, "viscosity": 0.05,
-            },
-            "FluidBlocks": [{
-                "objectId": 0, "start": [0.08, 0.05, 0.08],
-                "end": [0.3, 0.28, 0.3], "translation": [0, 0, 0],
-                "scale": [1, 1, 1], "velocity": [0, 0, 0],
-                "density": 1000.0, "color": [0, 0, 0], "entryTime": -1.0}],
-        })
-
-    def run(incremental):
-        scene, state = load_scene(config=cfg(), pair_backend="pallas_dma",
-                                  sort_incremental=incremental)
-        sim = simlib.Simulation(scene, state)
-        diag = None
-        for _ in range(10):
-            diag = sim.step()
-        assert int(diag["neighbor_overflow"]) == 0
-        p = sim.state.particles
-        live = np.asarray(p.material) != 0
-        pos = np.asarray(p.pos)[live]
-        return pos[np.lexsort(pos.T)]
-
-    a = run(False)
-    b = run(True)
+    a, _ = _run_dam_break(sort_incremental=False)
+    b, taken = _run_dam_break(sort_incremental=True)
     assert a.shape == b.shape
     np.testing.assert_allclose(a, b, atol=2e-4)
+    # the default budget (>= 4096 at this scale) admits every step
+    assert all(t == 1 for t in taken[1:]), taken
+
+
+@pytest.mark.slow
+def test_hybrid_full_branch_on_budget_blowout():
+    """A tiny sort_inc_budget forces the cond's full-sort branch whenever a
+    step crosses more cells than the budget: overflow stays 0 (the zeroing
+    branch is unreachable) and the physics matches the full sort."""
+    a, _ = _run_dam_break(sort_incremental=False)
+    b, taken = _run_dam_break(sort_incremental=True, sort_inc_budget=16)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=2e-4)
+    # the dam break crosses >16 cells on most steps: the full branch ran
+    assert any(t == 0 for t in taken), taken
 
 
 if __name__ == "__main__":

@@ -49,9 +49,12 @@ def main():
         wov = int(diag.get("window_overflow_max", 0))
         rho = float(diag.get("density_max", float("nan")))
         di = int(diag.get("solver_iters", 0))
-        if delta or k % 10 == 0 or k < 3:
+        crossers = int(diag.get("sort_crossers", -1))
+        taken = int(diag.get("sort_inc_taken", -1))
+        if delta or k % 10 == 0 or k < 3 or not taken:
             print(f"step {k:3d}: sort_ovf +{delta:8d} (acc {acc:9d}, "
                   f"inc-component this step {inc})  "
+                  f"crossers {crossers:8d} inc_taken {taken}  "
                   f"win_ovf_max {wov:7d}  rho_max {rho:8.1f}  iters {di}",
                   flush=True)
     ok = prev_acc == 0
