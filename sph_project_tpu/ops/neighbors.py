@@ -101,8 +101,8 @@ def sort_permutation(cells: jnp.ndarray) -> jnp.ndarray:
 PLANE_PAD = 64   # == pair_dma.B; plane runs padded so sub-blocks never cross
 
 
-def plane_padded_permutation(cells: jnp.ndarray,
-                             params: SimParams) -> jnp.ndarray:
+def plane_padded_permutation(cells: jnp.ndarray, params: SimParams,
+                             return_cells: bool = False):
     """Gather indices for the plane-padded cell sort (the DMA pair engine's
     layout): particles are cell-sorted, but each x-plane's run is padded to a
     multiple of ``PLANE_PAD`` with dead slots, so no 64-particle sub-block
@@ -116,41 +116,61 @@ def plane_padded_permutation(cells: jnp.ndarray,
     plane-end pad gaps and the tail) in index order. Pad-gap slots therefore
     hold inactive records, which the env builder's live mask and occurrence
     tables already exclude from every window.
+
+    Built from SCANS, not per-plane tables: each n-sized scatter / gather /
+    segment_sum on TPU costs 10-18 ms at 2M particles (scatter_bench_r4e),
+    and the original table build chained ~9 of them (114 ms — 19x the 6 ms
+    argsort it decorates). Here the padded slot of a live record is
+    ``sorted_rank + cum_pad_of_earlier_planes``, with the cumulative pad
+    computed by one cummax (plane starts) + one cumsum (pad contributions),
+    and the dead-record fill needs only one scatter + one cumsum + one
+    gather. 3 chained n-primitives instead of ~9.
+
+    With ``return_cells=True`` also returns the permuted cell ids
+    (``cells[perm]``, bit-identical) assembled from one extra scatter —
+    cheaper than the caller's separate n-gather.
     """
     n = cells.shape[0]
     g = params.grid_num
     plane_stride = 1
     for s in g[1:]:
         plane_stride *= s
-    order = jnp.argsort(cells, stable=True)
-    cs = cells[order]
     gx = g[0]
-    pl_id = jnp.where(cs >= params.num_cells, gx,
-                      jnp.maximum(cs, 0) // plane_stride)
-    counts = jax.ops.segment_sum(jnp.ones_like(cs), pl_id,
-                                 num_segments=gx + 1)
-    cum = jnp.cumsum(counts)
-    base_sorted = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum[:-1]])
-    padded = ((counts + PLANE_PAD - 1) // PLANE_PAD) * PLANE_PAD
-    cump = jnp.cumsum(padded)
-    base_pad = jnp.concatenate([jnp.zeros((1,), cump.dtype), cump[:-1]])
-    k = jnp.arange(n, dtype=cum.dtype)
-    sent = pl_id >= gx
-    out_live = base_pad[jnp.minimum(pl_id, gx - 1)] + \
-        (k - base_sorted[jnp.minimum(pl_id, gx - 1)])
-    out_live = jnp.minimum(out_live, n - 1)  # safety (n_pad plane budget)
-    occupied = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(sent, n, out_live)].set(1, mode="drop")
-    # free slots in ascending index order absorb the sentinel records;
-    # rank-compaction via cumsum + scatter (cheaper than an argsort)
-    free_rank = jnp.cumsum(1 - occupied) - (1 - occupied)
-    free = jnp.zeros((n,), jnp.int32).at[
-        jnp.where(occupied == 1, n, free_rank)].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    out_sent = free[jnp.clip(k - base_sorted[gx], 0, n - 1)]
-    out_pos = jnp.where(sent, out_sent, out_live)
-    perm = jnp.zeros((n,), jnp.int32).at[out_pos].set(order.astype(jnp.int32))
-    return perm
+    ncells = params.num_cells
+    i32 = jnp.int32
+    k = jnp.arange(n, dtype=i32)
+    # one stable sort yields BOTH the order and the sorted keys (argsort
+    # would throw the keys away and force an n-gather to recover them)
+    cs, order = jax.lax.sort((cells, k), is_stable=True, num_keys=1)
+    live = cs < ncells
+    pl_id = jnp.where(live, cs // plane_stride, gx)
+    # record space: plane starts, each contributing the PREVIOUS plane's
+    # pad to the cumulative slot shift (empty planes pad to 0 — absent
+    # from the sorted order, absent from the sum)
+    prev_pl = jnp.concatenate([jnp.full((1,), -1, pl_id.dtype), pl_id[:-1]])
+    is_start = pl_id != prev_pl
+    plane_start = jax.lax.cummax(jnp.where(is_start, k, 0))
+    start_prev = jnp.concatenate([jnp.zeros((1,), i32), plane_start[:-1]])
+    count_prev = k - start_prev            # prev plane's size, valid at starts
+    pad_prev = (-count_prev) % PLANE_PAD
+    shift = jnp.cumsum(jnp.where(is_start & (k > 0), pad_prev, 0))
+    out_live = jnp.minimum(k + shift, n - 1)  # safety (n_pad plane budget)
+    # slot space: live records scatter their id; dead records fill the
+    # complement (pad gaps + tail) in index order — stable sort already has
+    # them index-ascending at the sorted tail
+    val = jnp.zeros((n,), i32).at[
+        jnp.where(live, out_live, n)].set(order + 1, mode="drop")
+    occupied = val > 0
+    nfree = (~occupied).astype(i32)
+    free_rank = jnp.cumsum(nfree) - nfree
+    n_live = jnp.sum(live.astype(i32))
+    dead_src = order[jnp.minimum(n_live + free_rank, n - 1)]
+    perm = jnp.where(occupied, val - 1, dead_src)
+    if not return_cells:
+        return perm
+    cells_sorted = jnp.full((n,), ncells, cells.dtype).at[
+        jnp.where(live, out_live, n)].set(cs, mode="drop")
+    return perm, cells_sorted
 
 
 def inc_sort_budget(n: int, params: SimParams) -> int:

@@ -76,6 +76,7 @@ def sort_state(state: SimState, params: SimParams,
     p = state.particles
     active = p.material != MATERIAL_NONE
     cells = nblib.flat_cell_ids(p.pos, active, params)
+    cells_sorted = None
     sdiag = dict(sort_overflow_inc=jnp.int32(0),
                  sort_crossers=jnp.int32(0),
                  sort_inc_taken=jnp.int32(0))
@@ -116,7 +117,8 @@ def sort_state(state: SimState, params: SimParams,
                          sort_crossers=jnp.maximum(n_mov, n_lv),
                          sort_inc_taken=fits.astype(jnp.int32))
         else:
-            perm = nblib.plane_padded_permutation(cells, params)
+            perm, cells_sorted = nblib.plane_padded_permutation(
+                cells, params, return_cells=True)
     else:
         perm = nblib.sort_permutation(cells)
 
@@ -149,7 +151,9 @@ def sort_state(state: SimState, params: SimParams,
         p = p.replace(**{k: permute(getattr(p, k)) for k in pkeys})
         state = state.replace(
             **{k: permute(getattr(state, k)) for k in extras})
-    return state.replace(particles=p), cells[perm], overflow, sdiag
+    if cells_sorted is None:
+        cells_sorted = cells[perm]
+    return state.replace(particles=p), cells_sorted, overflow, sdiag
 
 
 def produces_output(p: ParticleState, rigid: RigidState,

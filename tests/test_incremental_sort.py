@@ -65,6 +65,86 @@ def _mutate(rng, cells_old_sorted, params, frac_move=0.03, frac_flip=0.01):
     return jnp.asarray(cs_new)
 
 
+def _plane_padded_reference(cells, params):
+    """Numpy reference of the plane-padded layout SPEC (per-plane tables,
+    the shape of the original implementation): stable cell sort, each
+    x-plane's run placed at a 64-aligned padded base, sentinel records
+    absorbing the free slots (pad gaps + tail) in index order. The
+    production build is pure scans (see plane_padded_permutation) — this
+    pins it to the spec bit-for-bit, including the permuted cell ids."""
+    cells = np.asarray(cells)
+    n = cells.shape[0]
+    g = params.grid_num
+    ncells = params.num_cells
+    plane_stride = int(np.prod(g[1:])) if len(g) > 1 else 1
+    gx = g[0]
+    order = np.argsort(cells, kind="stable")
+    cs = cells[order]
+    pl = np.where(cs >= ncells, gx, cs // plane_stride)
+    counts = np.bincount(pl, minlength=gx + 1)
+    base_sorted = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    padded = (counts + nb.PLANE_PAD - 1) // nb.PLANE_PAD * nb.PLANE_PAD
+    base_pad = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    k = np.arange(n)
+    sent = pl >= gx
+    out_live = base_pad[np.minimum(pl, gx - 1)] + \
+        (k - base_sorted[np.minimum(pl, gx - 1)])
+    out_live = np.minimum(out_live, n - 1)
+    occupied = np.zeros(n, bool)
+    occupied[out_live[~sent]] = True
+    free = np.nonzero(~occupied)[0]
+    out = np.empty(n, np.int64)
+    out[~sent] = out_live[~sent]
+    out[sent] = free[k[sent] - base_sorted[gx]]
+    perm = np.empty(n, np.int32)
+    perm[out] = order
+    return perm, cells[perm]
+
+
+@pytest.mark.parametrize("seed,frac_live", [
+    (0, 0.8), (1, 1.0), (2, 0.0), (3, 0.02), (4, 0.5)])
+def test_plane_padded_matches_spec(seed, frac_live):
+    """Scan-based plane_padded_permutation == the table-based spec, bit for
+    bit (perm AND returned cells), across live fractions incl. all-live,
+    all-dead, and nearly-empty grids (empty planes)."""
+    rng = np.random.default_rng(seed)
+    params = _params(1100)
+    n = params.n_pad
+    ncells = params.num_cells
+    # the plane budget in n_pad guarantees padded placement fits only for
+    # <= n_particles live records (params.py plane_budget) — respect it
+    n_live = int(frac_live * params.n_particles)
+    cells = np.full(n, ncells, np.int32)
+    cells[rng.choice(n, size=n_live, replace=False)] = \
+        rng.integers(0, ncells, size=n_live)
+    # cluster half the live ids into few planes to exercise fat plane runs
+    half = rng.random(n) < 0.5
+    cells[half & (cells < ncells)] %= max(ncells // params.grid_num[0], 1)
+    perm, cs = nb.plane_padded_permutation(
+        jnp.asarray(cells), params, return_cells=True)
+    ref_perm, ref_cs = _plane_padded_reference(cells, params)
+    np.testing.assert_array_equal(np.asarray(perm), ref_perm)
+    np.testing.assert_array_equal(np.asarray(cs), ref_cs)
+    np.testing.assert_array_equal(np.asarray(cs), cells[np.asarray(perm)])
+    if frac_live > 0 and frac_live < 1:
+        validate_layout(cs, params)
+
+
+def test_plane_padded_matches_spec_2d():
+    rng = np.random.default_rng(11)
+    params = _params(700, dim=2)
+    n = params.n_pad
+    n_live = int(0.7 * params.n_particles)
+    cells = np.full(n, params.num_cells, np.int32)
+    cells[rng.choice(n, size=n_live, replace=False)] = \
+        rng.integers(0, params.num_cells, size=n_live)
+    perm, cs = nb.plane_padded_permutation(
+        jnp.asarray(cells), params, return_cells=True)
+    ref_perm, ref_cs = _plane_padded_reference(cells, params)
+    np.testing.assert_array_equal(np.asarray(perm), ref_perm)
+    np.testing.assert_array_equal(np.asarray(cs), ref_cs)
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_incremental_matches_layout_invariants(seed):
     rng = np.random.default_rng(seed)
