@@ -153,6 +153,12 @@ def main():
     ap.add_argument("--cold", action="store_true",
                     help="disable the warm start (the reference's "
                          "cold-every-step algorithm, for parity A/Bs)")
+    ap.add_argument("--warm-factor", type=float, default=None,
+                    help="warm-start strength (params.dfsph_warm_factor; "
+                         "default 0.5). Stronger factors start the corrector "
+                         "closer to the previous step's converged stiffness "
+                         "and can drop a whole iteration at the same exit "
+                         "tolerance")
     ap.add_argument("--warm-div", action="store_true",
                     help="also warm-start the divergence corrector "
                          "(params.dfsph_warm_start_div; pays off on "
@@ -193,6 +199,11 @@ def main():
         scene.params = dataclasses.replace(scene.params,
                                            dfsph_warm_start_div=True)
         workload += " +warmdiv"
+    if args.warm_factor is not None:
+        import dataclasses
+        scene.params = dataclasses.replace(
+            scene.params, dfsph_warm_factor=args.warm_factor)
+        workload += f" wf={args.warm_factor:g}"
     params = scene.params
     n_fluid = sum(o.particle_num for o in scene.objects
                   if o.material == MATERIAL_FLUID)
@@ -251,7 +262,7 @@ def main():
             print(f"# {label}: times={['%.2f' % t for t in times]} "
                   f"steps/s={steps_per_s:.2f} fluid-p-steps/s={pps:.3g} "
                   f"dens_iters={iters[0]} div_iters={iters[1]}")
-        return pps, iters
+        return pps, iters, diag
 
     # --- early-fall phase: compile + warm + first timing, retried on wedge
     early_pps = early_iters = None
@@ -259,7 +270,7 @@ def main():
         try:
             state = fresh_run()
             run_steps(3)                   # compile + warm
-            early_pps, early_iters = timed_phase("early-fall")
+            early_pps, early_iters, _ = timed_phase("early-fall")
             break
         except Exception as e:  # noqa: BLE001 — tunnel wedge, retry
             print(f"# early-fall attempt {attempt} crashed: "
@@ -273,7 +284,7 @@ def main():
 
     # --- settle + settled phase, retried from the anchor on wedge ---
     settled_error = None
-    pps = iters = None
+    pps = iters = sdiag = None
     for attempt in range(3):
         try:
             # test hook: BENCH_INJECT_SETTLED_CRASH=once|always exercises the
@@ -292,7 +303,7 @@ def main():
                           f"{int(diag['div_iters'])} "
                           f"rho_max={float(diag['density_max']):.0f}",
                           flush=True)
-            pps, iters = timed_phase("settled")
+            pps, iters, sdiag = timed_phase("settled")
             settled_error = None
             break
         except Exception as e:  # noqa: BLE001 — tunnel wedge, retry
@@ -353,6 +364,12 @@ def main():
         "early_fall_value": round(early_pps, 1),
         "early_fall_iters": list(early_iters),
         "settled_iters": list(iters),
+        # physics sanity beside the perf number: algorithm knobs (warm
+        # start / factor) must leave the settled density field in the same
+        # band as the cold reference algorithm
+        "density_avg": round(float(sdiag["density_avg"]), 2),
+        "density_max": round(float(sdiag["density_max"]), 2),
+        "vel_max": round(float(sdiag["vel_max"]), 3),
         "overflow": max_win_ovf + max_sort_ovf,
         "overflow_window": max_win_ovf,
         "overflow_sort": max_sort_ovf,

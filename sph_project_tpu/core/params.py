@@ -75,6 +75,18 @@ class SimParams:
     # tolerance, so physics quality is unchanged.
     # Scene key: dfsphWarmStartDiv.
     dfsph_warm_start_div: bool = False
+    # warm-start strength: the pre-loop correction starts from
+    # ``factor * kappa_prev``. 0.5 is the conservative classic (Bender &
+    # Koschier); at settled state kappa is nearly constant step-to-step, so
+    # a stronger factor can remove a whole corrector iteration at the SAME
+    # exit tolerance. Overshoot is bounded by the tolerance check: the loop
+    # only exits when the avg density error is < dfsph_max_error either way.
+    # CAUTION (hardware-measured): 1.0 is stable on small settled scenes but
+    # DIVERGED at the 1.23M headline scene mid-settle (rho_max 4170, mass
+    # sort overflow — .hwq_results/bench_r4g_warm_wf1.log); the overshoot
+    # compounds while the free surface is still falling. Keep 0.5 unless the
+    # scene is near-hydrostatic. Scene key: dfsphWarmFactor.
+    dfsph_warm_factor: float = 0.5
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

@@ -121,6 +121,9 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     wsd = cfg.get_cfg("dfsphWarmStartDiv")
     if wsd is not None:
         kw["dfsph_warm_start_div"] = bool(wsd)
+    wf = cfg.get_cfg("dfsphWarmFactor")
+    if wf is not None:
+        kw["dfsph_warm_factor"] = float(wf)
     si = cfg.get_cfg("sortIncremental")
     if si is not None:
         kw["sort_incremental"] = bool(si)

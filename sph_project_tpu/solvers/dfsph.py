@@ -342,7 +342,8 @@ def correct_density_error(
         vel0 = vel0 + dv
         rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
     elif kappa0 is not None:
-        kappa_w = jnp.where(fluid_i, jnp.maximum(0.5 * kappa0, 0.0), 0.0)
+        kappa_w = jnp.where(
+            fluid_i, jnp.maximum(params.dfsph_warm_factor * kappa0, 0.0), 0.0)
         dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
         vel0 = vel0 + dv
         rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
@@ -410,7 +411,9 @@ def correct_divergence_error(
     if kappa_v0 is not None:
         # kappa_v = deriv*alpha >= 0 by construction; clamp like the density
         # warm start for robustness against stale negative noise
-        kappa_w = jnp.where(fluid_i, jnp.maximum(0.5 * kappa_v0, 0.0), 0.0)
+        kappa_w = jnp.where(
+            fluid_i,
+            jnp.maximum(params.dfsph_warm_factor * kappa_v0, 0.0), 0.0)
         dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
         vel0 = vel0 + dv
         vslab0 = slab_pack(env, {"v": vel0})["v"]
@@ -454,8 +457,10 @@ def _nonpressure_and_density_solve(p, rigid, state, env, sl, params, plumbing):
     alpha = state.dfsph_alpha
     if params.dfsph_warm_start and params.viscosity_method == "standard":
         fluid_i = p.material == MATERIAL_FLUID
-        kappa_w = jnp.where(fluid_i,
-                            jnp.maximum(0.5 * state.dfsph_kappa, 0.0), 0.0)
+        kappa_w = jnp.where(
+            fluid_i,
+            jnp.maximum(params.dfsph_warm_factor * state.dfsph_kappa, 0.0),
+            0.0)
         a_np, vf, vt, dv, wf, wt = nonpressure_warm_fused(
             p, rigid, kappa_w, env, sl, params)
         acc = common.gravity_acceleration(p, params) + a_np

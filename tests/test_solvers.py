@@ -137,6 +137,34 @@ def test_dfsph_warm_start_converges_with_fewer_iterations():
         0.15 * max(d_c["density_max"], 1.0)
 
 
+def test_dfsph_warm_factor_same_tolerance():
+    """dfsph_warm_factor scales the warm-start stiffness guess. The exit
+    tolerance is checked on the REAL density error either way, so any factor
+    must land in the same convergence contract; a stronger factor should
+    need no more cumulative iterations than the conservative 0.5 default."""
+    def drive(extra):
+        scene, state = load_scene(config=dam_break_cfg(
+            "dfsph", dt=5e-4, extra=extra), **FAST)
+        sim = simlib.Simulation(scene, state)
+        tot = 0.0
+        for _ in range(30):
+            diag = sim.step()
+            tot += float(diag["solver_iters"])
+        return sim.state, {k: float(v) for k, v in diag.items()}, tot
+
+    s_h, d_h, iters_h = drive({"dfsphWarmStart": True})
+    s_f, d_f, iters_f = drive({"dfsphWarmStart": True,
+                               "dfsphWarmFactor": 1.0})
+    assert d_f["solver_err"] <= 0.1 + 1e-6
+    assert d_f["neighbor_overflow"] == 0
+    f = np.asarray(s_f.particles.material) == 1
+    assert np.isfinite(np.asarray(s_f.particles.pos)[f]).all()
+    # stronger warm guesses must not cost extra work on a settling scene
+    assert iters_f <= iters_h + 3
+    assert abs(d_f["density_max"] - d_h["density_max"]) < \
+        0.15 * max(d_h["density_max"], 1.0)
+
+
 def test_dfsph_warm_start_div_same_tolerance():
     """dfsph_warm_start_div carries the divergence corrector's stiffness
     across steps. It exists for pileup scenes (10+ divergence iterations);
