@@ -79,8 +79,9 @@ class SimParams:
     # ``factor * kappa_prev``. 0.5 is the conservative classic (Bender &
     # Koschier); at settled state kappa is nearly constant step-to-step, so
     # a stronger factor can remove a whole corrector iteration at the SAME
-    # exit tolerance. Overshoot is bounded by the tolerance check: the loop
-    # only exits when the avg density error is < dfsph_max_error either way.
+    # exit tolerance. The avg-error exit tolerance is unchanged, but it does
+    # NOT bound per-particle overshoot — local density spikes can hide under
+    # a passing average (see CAUTION).
     # CAUTION (hardware-measured): 1.0 is stable on small settled scenes but
     # DIVERGED at the 1.23M headline scene mid-settle (rho_max 4170, mass
     # sort overflow — .hwq_results/bench_r4g_warm_wf1.log); the overshoot

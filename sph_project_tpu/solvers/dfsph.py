@@ -234,7 +234,12 @@ def _correction_reduce(out, p: ParticleState, rigid: RigidState,
     if not params.has_dynamic_rigid:
         return dv, jnp.zeros_like(rigid.force), jnp.zeros_like(rigid.torque)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
-    arm = p.pos - rigid.com[obj]
+    # one-hot MXU read, not a row gather: this runs inside BOTH corrector
+    # while_loops on coupled scenes (rigid.com[obj] measured ~7 ns/element
+    # on v5e — tools/obj_gather_bench.py)
+    com_i = common.object_gather({"com": rigid.com}, obj,
+                                 params.max_objects)["com"]
+    arm = p.pos - com_i
     torque_pp = common.pair_cross(arm, out[f"{pre}fp"], params.dim)
     force, torque = common.reduce_wrench(out[f"{pre}fp"], torque_pp, p, params)
     return dv, force, torque

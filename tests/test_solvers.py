@@ -159,7 +159,9 @@ def test_dfsph_warm_factor_same_tolerance():
     assert d_f["neighbor_overflow"] == 0
     f = np.asarray(s_f.particles.material) == 1
     assert np.isfinite(np.asarray(s_f.particles.pos)[f]).all()
-    # stronger warm guesses must not cost extra work on a settling scene
+    # stronger warm guesses must not cost meaningfully more work on a
+    # settling scene; the +3 slack is intentional flakiness headroom for
+    # float-reassociation-driven +-1 iteration wobble over 30 steps
     assert iters_f <= iters_h + 3
     assert abs(d_f["density_max"] - d_h["density_max"]) < \
         0.15 * max(d_h["density_max"], 1.0)
