@@ -27,6 +27,12 @@ from .geometry import shapes
 from .utils.config import SimConfig
 
 ASSET_ROOT = os.environ.get("SPH_ASSET_ROOT", "/root/reference")
+# first-party procedural stand-ins (data/make_models.py): bbox-matched
+# equivalents of the reference's binary mesh assets, used when neither the
+# literal path nor the reference checkout provides the file — the repo is
+# self-contained without SPH_ASSET_ROOT
+BUILTIN_MODELS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "data", "models_builtin")
 
 
 def _resolve_path(path: str) -> str:
@@ -35,7 +41,11 @@ def _resolve_path(path: str) -> str:
     alt = os.path.join(ASSET_ROOT, path.lstrip("./"))
     if os.path.exists(alt):
         return alt
-    raise FileNotFoundError(f"geometry file {path} (also tried {alt})")
+    builtin = os.path.join(BUILTIN_MODELS, os.path.basename(path))
+    if os.path.exists(builtin):
+        return builtin
+    raise FileNotFoundError(
+        f"geometry file {path} (also tried {alt} and {builtin})")
 
 
 @dataclass
@@ -390,6 +400,13 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     )
 
     state = state.replace(particles=p, rigid=rigid)
+    # Configuration-level invisibleObjects list: the reference driver skips
+    # these ids when drawing (run_simulation.py:88); here it folds into the
+    # per-object visible flag every export/render backend already honors
+    for oid in (cfg.get_cfg("invisibleObjects") or []):
+        for so in scene_objects:
+            if so.object_id == oid:
+                so.visible = False
     scene = Scene(params=params, config=cfg, objects=scene_objects,
                   fluid_object_ids=fluid_ids, rigid_object_ids=rigid_ids)
     return scene, state
