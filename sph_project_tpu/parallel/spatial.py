@@ -91,6 +91,18 @@ class SpatialEnv(struct.PyTreeNode):
     def sort_overflow(self):
         return self.inner.sort_overflow
 
+    @property
+    def contact_env(self):
+        """Spatial wrapper over the inner engine's rigid-contact-producer env
+        (sim.build_env contact_produces): the contact pass's many output
+        channels must not scan fluid superblocks under spmd either — the
+        single-chip 706 ms/step failure mode (ROADMAP r4 A-C). Same halo (the
+        layout is shared), shortfall accounted once by the main env."""
+        inner_c = getattr(self.inner, "contact_env", None)
+        if inner_c is None:
+            return None
+        return SpatialEnv(inner=inner_c, halo=self.halo, halo_shortfall=0)
+
 
 def halo_extend(x: jnp.ndarray, H: int, axis: str) -> jnp.ndarray:
     """(n_local, ...) -> (n_local + 2H, ...): prepend the left neighbor's
@@ -156,14 +168,24 @@ class SpatialPlumbing(simlib.Plumbing):
                           params.num_cells, cells)
 
         produces = ext["material"] == MATERIAL_FLUID
+        contact_produces = None
         if params.has_dynamic_rigid:
             obj = jnp.clip(ext["object_id"], 0, params.max_objects - 1)
+            dyn_rigid = (ext["material"] == MATERIAL_RIGID) & \
+                (ext["is_dynamic"] > 0) & \
+                (state.rigid.obj_material[obj] == MATERIAL_RIGID)
             produces = produces | ((ext["is_dynamic"] > 0) & (
                 state.rigid.obj_material[obj] == MATERIAL_RIGID))
+            if params.contact_channels or \
+                    params.rigid_solver == "shape_matching":
+                contact_produces = dyn_rigid
         # halo rows compute on their owner device, not here
         owned = (pos_i >= H) & (pos_i < n_ext - H)
         produces = produces & owned
-        inner = simlib.build_env(_PosView(ext["pos"]), cells, produces, params)
+        if contact_produces is not None:
+            contact_produces = contact_produces & owned
+        inner = simlib.build_env(_PosView(ext["pos"]), cells, produces, params,
+                                 contact_produces=contact_produces)
         shortfall = SpatialPlumbing._halo_coverage_shortfall(
             cells[H:n_ext - H], H, params)
         return state, SpatialEnv(inner=inner, halo=H,

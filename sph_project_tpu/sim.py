@@ -237,7 +237,9 @@ class Plumbing:
         # sort path, and every later step compares cells computed by the
         # SAME program (exact).
         contact_produces = None
-        if (params.has_dynamic_rigid and not params.spmd_axis and
+        # (the spatial path builds its own over halo-extended arrays —
+        # SpatialPlumbing.neighbor_prep, parallel/spatial.py)
+        if (params.has_dynamic_rigid and
                 (params.contact_channels or
                  params.rigid_solver == "shape_matching")):
             contact_produces = dynamic_rigid_mask(p, state.rigid, params)

@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from sph_project_tpu.utils.config import SimConfig
 from sph_project_tpu.scene import load_scene
@@ -135,6 +136,73 @@ def test_spatial_rigid_coupling_matches(tmp_path):
                                np.asarray(s2.rigid.vel), atol=1e-6)
     np.testing.assert_allclose(np.asarray(s1.rigid.omega),
                                np.asarray(s2.rigid.omega), atol=1e-6)
+    assert float(diag2["neighbor_overflow"]) == 0
+
+
+@pytest.mark.slow
+def test_spatial_contact_env_two_bodies_matches(tmp_path):
+    """The contact-producer env under spmd (SpatialPlumbing builds it over
+    the halo-extended layout; VERDICT r4 weak #5): two dynamic bodies give
+    two contact channels whose tables cross shards. Uses the pallas_dma
+    engine (interpret mode on CPU) — the only backend that builds a
+    contact_env — and must match the single-device pallas_dma run."""
+    from test_rigid import write_cube_obj
+    cube = write_cube_obj(str(tmp_path / "cube.obj"), size=0.08)
+    body = {"geometryFile": cube, "rotationAxis": [0, 1, 0],
+            "rotationAngle": 0.0, "scale": [1, 1, 1],
+            "density": 400.0, "color": [255, 255, 255],
+            "isDynamic": True, "entryTime": -1.0}
+    cfg = SimConfig(config={
+        "Configuration": {
+            "domainStart": [0, 0, 0], "domainEnd": [0.6, 0.5, 0.5],
+            "addDomainBox": False, "particleRadius": 0.01, "density0": 1000,
+            "gravitation": [0, -9.81, 0], "simulationMethod": "dfsph",
+            "viscosityMethod": "standard", "timeStepSize": 5e-4,
+            "viscosity": 0.05},
+        "RigidBodies": [
+            dict(body, objectId=1, translation=[0.2, 0.14, 0.25],
+                 velocity=[0, -0.3, 0]),
+            dict(body, objectId=2, translation=[0.4, 0.16, 0.25],
+                 velocity=[-0.1, -0.3, 0]),
+        ],
+        "FluidBlocks": [{"objectId": 0, "start": [0.05, 0.045, 0.05],
+                         "end": [0.5, 0.1, 0.4], "translation": [0, 0, 0],
+                         "scale": [1, 1, 1], "velocity": [0, 0, 0],
+                         "density": 1000.0, "color": [50, 100, 200],
+                         "entryTime": -1.0}]})
+    # sanity: this scene really has two contact channels, and the spatial
+    # env exposes a contact-producer env (not the full-scan fallback).
+    # pair_dma_group=2 keeps the superblock (64*G) dividing every 8-way
+    # local shard (n_pad is rounded to 1024)
+    dma_kw = dict(pair_backend="pallas_dma", pair_dma_group=2)
+    scene, state = load_scene(config=cfg, **dma_kw)
+    assert len(scene.params.contact_channels) == 2
+    import dataclasses
+    params_sp = dataclasses.replace(scene.params, spmd_axis=spatial.AXIS)
+    mesh = spatial.make_mesh(8)
+    state_p = jax.jit(lambda s: simlib.prepare(s, scene.params))(state)
+    state_p = spatial.shard_state(
+        state_p.replace(cached_neighbors=None), mesh, scene.params)
+
+    def probe(s):
+        s, cells, _, _ = simlib.sort_state(s, params_sp)
+        s = s.replace(cached_neighbors=cells)
+        _, env = spatial.SpatialPlumbing.neighbor_prep(s, params_sp)
+        return jnp.int32(0 if env.contact_env is None else 1)
+
+    from jax.sharding import PartitionSpec as P
+    specs = spatial._state_specs(state_p, scene.params.n_pad)
+    got = jax.jit(jax.shard_map(
+        probe, mesh=mesh, in_specs=(specs,), out_specs=P(),
+        check_vma=False))(state_p)
+    assert int(got) == 1, "spatial path did not build the contact env"
+
+    diag1, diag2, s1, s2 = run_both(cfg, steps=3, **dma_kw)
+    np.testing.assert_array_equal(sorted_fluid_pos(s1), sorted_fluid_pos(s2))
+    np.testing.assert_array_equal(np.asarray(s1.rigid.com),
+                                  np.asarray(s2.rigid.com))
+    np.testing.assert_allclose(np.asarray(s1.rigid.vel),
+                               np.asarray(s2.rigid.vel), atol=1e-6)
     assert float(diag2["neighbor_overflow"]) == 0
 
 
