@@ -54,6 +54,7 @@ def main():
 
     n_live = int(np.asarray(produces).sum())
     total = 0
+    span_total = 0   # alignment-free bound: exact [st,en) spans, no WT clip
     tiles = 0
     for sb in range(NSB):
         m = meta[sb]
@@ -75,9 +76,36 @@ def main():
                         nt = int(max(t_hi - t_lo, 0))
                         tiles += nt
                         total += nt * WT * HB
+                        span_total += int(max(en - st, 0)) * HB
     print(f"n_pad={n} producing={n_live} NSB={NSB}")
     print(f"pair-evals total={total:.4g}  per producing particle="
           f"{total / max(n_live, 1):.0f}  tiles={tiles}")
+    print(f"alignment-free span bound: total={span_total:.4g}  "
+          f"per producing particle={span_total / max(n_live, 1):.0f}  "
+          f"(the same row hulls if windows could start at any lane)")
+
+    # 27-cell stencil floor: what a per-particle gather engine would touch —
+    # sum of occupancy over each producing particle's 3^3 neighbor cells.
+    # Unreachable for a dense-window engine (it shares scans across HB=32
+    # producers and pays the plane-pad dead slots), but it is the honest
+    # denominator for "scan waste".
+    if params.dim == 3:
+        gx, gy, gz = (int(v) for v in params.grid_num)
+        c = np.asarray(cells)
+        live = np.asarray(p.material) != MATERIAL_NONE
+        occ = np.bincount(c[live & (c < gx * gy * gz)],
+                          minlength=gx * gy * gz).reshape(gx, gy, gz)
+        padded = np.zeros((gx + 2, gy + 2, gz + 2), np.int64)
+        padded[1:-1, 1:-1, 1:-1] = occ
+        conv = np.zeros_like(occ)
+        for dx in (0, 1, 2):
+            for dy in (0, 1, 2):
+                for dz in (0, 1, 2):
+                    conv += padded[dx:dx + gx, dy:dy + gy, dz:dz + gz]
+        pr = np.asarray(produces)
+        stencil = conv.reshape(-1)[c[pr]].astype(np.int64)
+        print(f"27-cell stencil floor: total={stencil.sum():.4g}  "
+              f"per producing particle={stencil.sum() / max(n_live, 1):.0f}")
 
 
 if __name__ == "__main__":

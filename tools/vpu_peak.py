@@ -100,6 +100,53 @@ def main():
               f"({rate/1e12:.2f} Tfma/s f32, {dt*1e3:.1f} ms/call)")
         peak = vrate if peak is None else max(peak, vrate)
 
+    # ---- 1b. true VPU ceiling (Pallas, VMEM-resident, no XLA loop) ---------
+    # The XLA chain above is bound by XLA's fused-elementwise codegen (~1
+    # vreg/cycle), not the VPU. Here the accumulator is a VMEM-resident
+    # (256,128) block = 256 independent vregs; a scalar fori_loop applies
+    # one FMA to the whole block per trip, so per trip the VPU sees 256
+    # independent vreg-FMAs. Sweeping the trip count cancels dispatch and
+    # block-load cost; the slope is the hardware FMA ceiling.
+    from jax.experimental import pallas as pl
+
+    BLK = 256
+
+    def make_pallas(k_outer):
+        def kern(a_ref, o_ref):
+            a = a_ref[...]
+
+            def body(i, acc):
+                return acc * 1.0000001 + 1e-9
+
+            o_ref[...] = jax.lax.fori_loop(0, k_outer, body, a)
+
+        return jax.jit(lambda a: pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((BLK, 128), jnp.float32),
+            interpret=jax.default_backend() != "tpu",
+        )(a))
+
+    ablk = jnp.full((BLK, 128), 1.0000001, jnp.float32)
+    ks_p = [4096, 16384] if jax.default_backend() == "tpu" else [16, 64]
+    times_p = []
+    for k_outer in ks_p:
+        f = make_pallas(k_outer)
+        float(jnp.sum(f(ablk)))
+        samples = []
+        x = ablk
+        for _ in range(7):
+            t0 = time.perf_counter()
+            x = x * (1.0 + 1e-9)   # chain inputs: dodge the result cache
+            float(jnp.sum(f(x)))
+            samples.append(time.perf_counter() - t0)
+        times_p.append(sorted(samples)[len(samples) // 2])
+        print(f"pallas block-FMA k_outer={k_outer}: "
+              f"{times_p[-1]*1e3:.2f} ms/call")
+    dvregs = (ks_p[1] - ks_p[0]) * (BLK // 8)
+    ceil = dvregs / (times_p[1] - times_p[0])
+    print(f"vpu ceiling (pallas slope): {ceil/1e9:.2f} Gvreg-FMA/s "
+          f"({ceil/0.94e9:.2f} vreg-FMA/cycle at 940 MHz)")
+
     if args.peak_only:
         return
 

@@ -121,6 +121,7 @@ def main():
         kacc_w = warm("warm", jnp.where(
             fluid_i, jnp.maximum(0.5 * kprev, 0.0), 0.0))
         warm("unclamped", jnp.where(fluid_i, 0.5 * kprev, 0.0))
+        warm("mid", jnp.where(fluid_i, jnp.maximum(0.75 * kprev, 0.0), 0.0))
         warm("full", jnp.where(fluid_i, jnp.maximum(kprev, 0.0), 0.0))
 
         # kappa carry quality
@@ -155,15 +156,17 @@ def main():
                   f"rho_max={float(diag['density_max']):.0f} "
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
 
-    hdr = ("step | iters c/w/u/f | err0 cold/warm/unclmp/full | "
+    hdr = ("step | iters c/w/u/m/f | err0 cold/warm/unclmp/mid/full | "
            "near:far warm | kneg(all,near) corr |kprev|")
     print(hdr, flush=True)
     for i in range(args.steps):
         o = {k: float(v) for k, v in probe(state).items()}
         print(f"{i:4d} | {int(o['cold_iters'])}/{int(o['warm_iters'])}/"
-              f"{int(o['unclamped_iters'])}/{int(o['full_iters'])} | "
+              f"{int(o['unclamped_iters'])}/{int(o['mid_iters'])}/"
+              f"{int(o['full_iters'])} | "
               f"{o['cold_err0']:.2e}/{o['warm_err0']:.2e}/"
-              f"{o['unclamped_err0']:.2e}/{o['full_err0']:.2e} | "
+              f"{o['unclamped_err0']:.2e}/{o['mid_err0']:.2e}/"
+              f"{o['full_err0']:.2e} | "
               f"{o['warm_near']:.2e}:{o['warm_far']:.2e} | "
               f"{o['kneg_frac']:.3f},{o['kneg_near_frac']:.3f} "
               f"{o['kappa_corr']:.3f} {o['kappa_prev_abs']:.3e}",
