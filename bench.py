@@ -168,6 +168,10 @@ def apply_knobs(scene, args):
         scene.params = dataclasses.replace(
             scene.params, dfsph_warm_factor=args.warm_factor)
         suffix += f" wf={args.warm_factor:g}"
+    if args.warm_hi is not None:
+        scene.params = dataclasses.replace(
+            scene.params, dfsph_warm_factor_hi=args.warm_hi)
+        suffix += f" wfhi={args.warm_hi:g}"
     return suffix
 
 
@@ -376,6 +380,10 @@ def main():
                          "closer to the previous step's converged stiffness "
                          "and can drop a whole iteration at the same exit "
                          "tolerance")
+    ap.add_argument("--warm-hi", type=float, default=None,
+                    help="adaptive warm strength on quiescent steps "
+                         "(params.dfsph_warm_factor_hi; gate "
+                         "dfsph_warm_gate * density0 on carried rho_max)")
     ap.add_argument("--warm-div", action="store_true",
                     help="also warm-start the divergence corrector "
                          "(params.dfsph_warm_start_div; pays off on "

@@ -88,6 +88,19 @@ class SimParams:
     # compounds while the free surface is still falling. Keep 0.5 unless the
     # scene is near-hydrostatic. Scene key: dfsphWarmFactor.
     dfsph_warm_factor: float = 0.5
+    # ADAPTIVE warm strength (round 5): when > 0, the warm factor switches
+    # to this value on steps whose carried density field is quiescent
+    # (max fluid density <= dfsph_warm_gate * density0), and falls back to
+    # dfsph_warm_factor otherwise. Rationale (warm_diag_r5b.log +
+    # warm_diag_headline_r5b.log): a full-strength guess saves 1-3
+    # corrector iterations in settled/pileup regimes, and the wf=1.0
+    # divergence mode only arms while impacts are compressing the fluid —
+    # exactly when rho_max exceeds the gate and the factor drops back to
+    # the conservative default. During free fall kappa_prev ~ 0, so the
+    # open gate is harmless there. Costs one n-sized masked max per step.
+    # Scene keys: dfsphWarmFactorHi, dfsphWarmGate. Default off.
+    dfsph_warm_factor_hi: float = 0.0
+    dfsph_warm_gate: float = 1.03
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

@@ -134,6 +134,12 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     wf = cfg.get_cfg("dfsphWarmFactor")
     if wf is not None:
         kw["dfsph_warm_factor"] = float(wf)
+    wfh = cfg.get_cfg("dfsphWarmFactorHi")
+    if wfh is not None:
+        kw["dfsph_warm_factor_hi"] = float(wfh)
+    wg = cfg.get_cfg("dfsphWarmGate")
+    if wg is not None:
+        kw["dfsph_warm_gate"] = float(wg)
     si = cfg.get_cfg("sortIncremental")
     if si is not None:
         kw["sort_incremental"] = bool(si)

@@ -188,6 +188,26 @@ def compute_density_star(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
     return jnp.where(p.material == MATERIAL_FLUID, star, 0.0)
 
 
+def warm_factor(p: ParticleState, params: SimParams) -> jnp.ndarray:
+    """This step's warm-start strength (scalar, traced).
+
+    Static dfsph_warm_factor unless the adaptive knob is armed
+    (params.dfsph_warm_factor_hi > 0): then quiescent steps — carried
+    max fluid density within dfsph_warm_gate of rest — use the stronger
+    hi factor. See params.py for the hardware rationale; the gate closes
+    precisely during impact compression, the regime where a strong guess
+    diverged in r4g (the solver cannot correct over-expansion: star is
+    clamped >= 1, so overshoot leaves no corrective kappa behind)."""
+    wf = jnp.float32(params.dfsph_warm_factor)
+    if params.dfsph_warm_factor_hi > 0.0:
+        fluid_i = p.material == MATERIAL_FLUID
+        rho_mx = common.global_max(
+            jnp.where(fluid_i, p.density, 0.0), params)
+        quiet = rho_mx <= params.dfsph_warm_gate * params.density0
+        wf = jnp.where(quiet, jnp.float32(params.dfsph_warm_factor_hi), wf)
+    return wf
+
+
 def _correction_outputs(cx, params: SimParams, pre: str = "") -> dict:
     """Kernel-body fragment of one corrector iteration (DFSPH.py:161-202 /
     245-283): velocity correction sums ``{pre}dv{d}`` and, with dynamic
@@ -348,7 +368,7 @@ def correct_density_error(
         rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
     elif kappa0 is not None:
         kappa_w = jnp.where(
-            fluid_i, jnp.maximum(params.dfsph_warm_factor * kappa0, 0.0), 0.0)
+            fluid_i, jnp.maximum(warm_factor(p, params) * kappa0, 0.0), 0.0)
         dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
         vel0 = vel0 + dv
         rf0, rt0, kacc0, itr0 = f, tq, kappa_w, jnp.int32(1)
@@ -418,7 +438,7 @@ def correct_divergence_error(
         # warm start for robustness against stale negative noise
         kappa_w = jnp.where(
             fluid_i,
-            jnp.maximum(params.dfsph_warm_factor * kappa_v0, 0.0), 0.0)
+            jnp.maximum(warm_factor(p, params) * kappa_v0, 0.0), 0.0)
         dv, f, tq = _correction(p, rigid, kappa_w, None, env, sl, params)
         vel0 = vel0 + dv
         vslab0 = slab_pack(env, {"v": vel0})["v"]
@@ -464,7 +484,7 @@ def _nonpressure_and_density_solve(p, rigid, state, env, sl, params, plumbing):
         fluid_i = p.material == MATERIAL_FLUID
         kappa_w = jnp.where(
             fluid_i,
-            jnp.maximum(params.dfsph_warm_factor * state.dfsph_kappa, 0.0),
+            jnp.maximum(warm_factor(p, params) * state.dfsph_kappa, 0.0),
             0.0)
         a_np, vf, vt, dv, wf, wt = nonpressure_warm_fused(
             p, rigid, kappa_w, env, sl, params)

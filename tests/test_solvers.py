@@ -8,6 +8,8 @@ cache) and multiple tests assert on the cached result; scenes use
 pair_block=64 so the dense pair engine sizes its windows for the tiny
 particle counts instead of the production defaults.
 """
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -214,6 +216,53 @@ def test_dfsph_warm_start_div_same_tolerance():
     # tolerance still bounds the AVG error, not the max
     assert abs(d_f["density_max"] - d_c["density_max"]) < \
         0.25 * max(d_c["density_max"], 1.0)
+
+
+def test_dfsph_adaptive_warm_factor():
+    """dfsph_warm_factor_hi switches the warm strength on the carried
+    rho_max gate: the scalar picks hi only when the fluid is quiescent, and
+    the integrated scene keeps the cold solver's convergence contract."""
+    from sph_project_tpu.solvers import dfsph
+
+    # unit: the gate reads the carried density field
+    scene, state = load_scene(config=dam_break_cfg("dfsph", dt=5e-4), **FAST)
+    params = dataclasses.replace(scene.params, dfsph_warm_factor_hi=1.0,
+                                 dfsph_warm_gate=1.03)
+    p = state.particles
+    fluid = np.asarray(p.material) == 1
+    quiet = p.replace(density=jnp.where(p.material == 1, 1000.0, 0.0))
+    assert float(dfsph.warm_factor(quiet, params)) == 1.0
+    dens = np.where(fluid, 1000.0, 0.0)
+    dens[np.argmax(fluid)] = 1100.0   # one compressed particle arms the gate
+    loud = p.replace(density=jnp.asarray(dens, jnp.float32))
+    assert float(dfsph.warm_factor(loud, params)) == \
+        params.dfsph_warm_factor
+    # off by default: static factor regardless of density
+    assert float(dfsph.warm_factor(loud, scene.params)) == \
+        scene.params.dfsph_warm_factor
+
+    # integration: same tolerance contract, no iteration blow-up
+    def drive(extra):
+        scene, state = load_scene(config=dam_break_cfg(
+            "dfsph", dt=5e-4, extra=extra), **FAST)
+        sim = simlib.Simulation(scene, state)
+        tot = 0.0
+        for _ in range(30):
+            diag = sim.step()
+            tot += float(diag["solver_iters"])
+        return sim.state, {k: float(v) for k, v in diag.items()}, tot
+
+    s_c, d_c, iters_c = drive({"dfsphWarmStart": True})
+    s_a, d_a, iters_a = drive({"dfsphWarmStart": True,
+                               "dfsphWarmFactorHi": 1.0})
+    assert d_a["solver_err"] <= 0.1 + 1e-6
+    assert d_a["neighbor_overflow"] == 0
+    fa = np.asarray(s_a.particles.material) == 1
+    assert np.isfinite(np.asarray(s_a.particles.pos)[fa]).all()
+    # +3 = the same flakiness headroom as test_dfsph_warm_factor_same_tolerance
+    assert iters_a <= iters_c + 3
+    assert abs(d_a["density_max"] - d_c["density_max"]) < \
+        0.15 * max(d_c["density_max"], 1.0)
 
 
 def test_wcsph_eos_and_density_clamp():

@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--peak-only", action="store_true",
                     help="only the XLA FMA-chain peak (CPU-smokeable)")
     ap.add_argument("--backend", default=None)
+    ap.add_argument("--eng-lanes", type=int, default=1,
+                    help="independent accumulator chains in the engine op "
+                         "sweep: 1 = the deferred-accumulator dependent "
+                         "shape (latency bound), 4 = issue-width probe")
+    ap.add_argument("--skip-peak", action="store_true",
+                    help="engine sweep only (skip the XLA/Pallas peaks)")
     args = ap.parse_args()
 
     import jax
@@ -58,6 +64,11 @@ def main():
     # fori_loop carrying the array — memory traffic is N in + N out once,
     # compute is N*K*M FMAs, so for K*M in the thousands the measurement is
     # pure VPU throughput. Distinct multipliers per op stop any folding.
+    if args.skip_peak:
+        peak = 1.02e9    # measured vpu_peak_r5b.log (XLA fused chain)
+        _skip = True
+    else:
+        _skip = False
     N = 1 << 22          # 4M f32 = 16 MiB: VMEM-blocked by XLA, HBM-cheap
     K = 64               # FMA ops per element per loop iteration
     M = 64               # fori_loop trips inside the dispatch
@@ -83,8 +94,9 @@ def main():
         return run
 
     y0 = jnp.full((N,), 1.0000001, jnp.float32)
-    peak = None
-    for lanes in (1, 4):
+    if not _skip:
+        peak = None
+    for lanes in (() if _skip else (1, 4)):
         run_peak = make_peak(lanes)
         float(jnp.sum(run_peak(y0)))  # warm
         t0 = time.perf_counter()
@@ -127,7 +139,10 @@ def main():
         )(a))
 
     ablk = jnp.full((BLK, 128), 1.0000001, jnp.float32)
-    ks_p = [4096, 16384] if jax.default_backend() == "tpu" else [16, 64]
+    if _skip:
+        ks_p = []
+    else:
+        ks_p = [4096, 16384] if jax.default_backend() == "tpu" else [16, 64]
     times_p = []
     for k_outer in ks_p:
         f = make_pallas(k_outer)
@@ -142,10 +157,11 @@ def main():
         times_p.append(sorted(samples)[len(samples) // 2])
         print(f"pallas block-FMA k_outer={k_outer}: "
               f"{times_p[-1]*1e3:.2f} ms/call")
-    dvregs = (ks_p[1] - ks_p[0]) * (BLK // 8)
-    ceil = dvregs / (times_p[1] - times_p[0])
-    print(f"vpu ceiling (pallas slope): {ceil/1e9:.2f} Gvreg-FMA/s "
-          f"({ceil/0.94e9:.2f} vreg-FMA/cycle at 940 MHz)")
+    if len(times_p) == 2:
+        dvregs = (ks_p[1] - ks_p[0]) * (BLK // 8)
+        ceil = dvregs / (times_p[1] - times_p[0])
+        print(f"vpu ceiling (pallas slope): {ceil/1e9:.2f} Gvreg-FMA/s "
+              f"({ceil/0.94e9:.2f} vreg-FMA/cycle at 940 MHz)")
 
     if args.peak_only:
         return
@@ -179,6 +195,8 @@ def main():
         float(jnp.sum(s.particles.pos[0]))
         return (time.perf_counter() - t0) / reps
 
+    LANES = max(1, args.eng_lanes)
+
     def make(k_ops):
         @jax.jit
         def run(s, eps):
@@ -187,11 +205,19 @@ def main():
 
             def kern(cx):
                 _, d2, mask = cx.geometry()
-                acc = d2
-                # dependent FMA chain: k_ops extra vector ops per pair eval,
-                # un-fusable and un-hoistable (depends on d2, varies per op)
-                for i in range(k_ops):
-                    acc = acc * (1.0 + 1e-7 * (i + 1)) + 1e-9
+                # LANES independent FMA chains of k_ops/LANES each, all
+                # rooted at d2 (un-fusable, un-hoistable): LANES=1 is the
+                # engine's deferred-accumulator dependent shape (FMA-latency
+                # bound); LANES=4 probes the VPU issue-width ceiling with
+                # the identical surrounding engine code.
+                accs = [d2 * (1.0 + 1e-8 * (j + 1)) for j in range(LANES)]
+                for i in range(k_ops // LANES):
+                    for j in range(LANES):
+                        accs[j] = accs[j] * (
+                            1.0 + 1e-7 * (i * LANES + j + 1)) + 1e-9
+                acc = accs[0]
+                for j in range(1, LANES):
+                    acc = acc + accs[j]
                 return {"qa": cx.sum(acc, mask)}
             out = pair_exec.run(kern, env, {}, {"pos": p.pos}, params)
             return s.replace(particles=s.particles.replace(
