@@ -172,6 +172,10 @@ def apply_knobs(scene, args):
         scene.params = dataclasses.replace(
             scene.params, dfsph_warm_factor_hi=args.warm_hi)
         suffix += f" wfhi={args.warm_hi:g}"
+    if args.omega is not None:
+        scene.params = dataclasses.replace(
+            scene.params, dfsph_omega=args.omega)
+        suffix += f" om={args.omega:g}"
     return suffix
 
 
@@ -384,6 +388,9 @@ def main():
                     help="adaptive warm strength on quiescent steps "
                          "(params.dfsph_warm_factor_hi; gate "
                          "dfsph_warm_gate * density0 on carried rho_max)")
+    ap.add_argument("--omega", type=float, default=None,
+                    help="density-corrector over-relaxation "
+                         "(params.dfsph_omega; 1.0 = reference algorithm)")
     ap.add_argument("--warm-div", action="store_true",
                     help="also warm-start the divergence corrector "
                          "(params.dfsph_warm_start_div; pays off on "

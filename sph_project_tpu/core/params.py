@@ -101,6 +101,19 @@ class SimParams:
     # Scene keys: dfsphWarmFactorHi, dfsphWarmGate. Default off.
     dfsph_warm_factor_hi: float = 0.0
     dfsph_warm_gate: float = 1.03
+    # Over-relaxation (SOR) on the constant-density corrector's stiffness
+    # update (round 5). At TRUE hydrostatic settle the headline scene runs
+    # 10-19 density iterations per step with loop-entry error only ~1.2-1.8x
+    # the exit tolerance (warm_diag_headline_r5b.log): the Jacobi-style
+    # kappa update propagates pressure one neighborhood hop per iteration,
+    # so a ~45-cell-deep column crawls. omega scales each iteration's kappa
+    # (and the accumulated warm carry sees the applied value). 1.0 is the
+    # reference algorithm; the usable range is scene-dependent — the exit
+    # test is on the REAL density error either way, so convergence quality
+    # is unchanged, only the path. Density solver only (the divergence
+    # solver converges in ~1 iteration everywhere measured).
+    # Scene key: dfsphOmega.
+    dfsph_omega: float = 1.0
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

@@ -140,6 +140,9 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     wg = cfg.get_cfg("dfsphWarmGate")
     if wg is not None:
         kw["dfsph_warm_gate"] = float(wg)
+    om = cfg.get_cfg("dfsphOmega")
+    if om is not None:
+        kw["dfsph_omega"] = float(om)
     si = cfg.get_cfg("sortIncremental")
     if si is not None:
         kw["sort_incremental"] = bool(si)

@@ -343,8 +343,13 @@ def correct_density_error(
     env: PairEnv, sl: dict, params: SimParams,
     kappa0: jnp.ndarray = None,
     warm_pre: tuple = None,
+    omega=None,
 ) -> Tuple[ParticleState, RigidState, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Constant-density solver (DFSPH.py:225-243).
+
+    ``omega``: over-relaxation on each iteration's kappa (see
+    params.dfsph_omega); pass a traced scalar to sweep without recompiling
+    (tools/omega_diag.py). None uses the static param.
 
     ``kappa0`` (params.dfsph_warm_start): the previous step's accumulated
     stiffness. The warm path applies one correction from 0.5*kappa0 BEFORE
@@ -389,9 +394,14 @@ def correct_density_error(
         return (itr < 1) | ((err > params.dfsph_max_error) &
                             (itr < params.dfsph_max_iter))
 
+    om = params.dfsph_omega if omega is None else omega
+    _apply_om = omega is not None or params.dfsph_omega != 1.0
+
     def body(carry):
         vel, star, rf, rt, itr, _, kacc = carry
         kappa = (star - 1.0) * alpha / params.dt
+        if _apply_om:
+            kappa = kappa * om
         ks = slab_pack(env, {"k": kappa})
         dv, f, tq = _correction(p, rigid, kappa, ks["k"], env, sl, params)
         vel = vel + dv

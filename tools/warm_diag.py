@@ -42,6 +42,11 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--backend", default=None,
                     help="force a jax platform (e.g. cpu for a smoke run)")
+    ap.add_argument("--save-state", default=None,
+                    help="checkpoint the settled state here (reusable by "
+                         "--load-state and tools/omega_diag.py)")
+    ap.add_argument("--load-state", default=None,
+                    help="restore a settled state instead of settling")
     args = ap.parse_args()
 
     import jax
@@ -144,17 +149,27 @@ def main():
 
     probe = jax.jit(probe_fn)
 
-    print(f"# settling {args.settle} steps at "
-          f"{args.scene} (dt={params.dt})", flush=True)
-    t0 = time.perf_counter()
-    for i in range(args.settle):
-        state, diag = step(state)
-        if (i + 1) % 50 == 0:
-            print(f"# settle {i+1}/{args.settle}: "
-                  f"iters={int(diag['solver_iters'])}/"
-                  f"{int(diag['div_iters'])} "
-                  f"rho_max={float(diag['density_max']):.0f} "
-                  f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    if args.load_state:
+        from sph_project_tpu.io import checkpoint
+        state, _ = step(state)   # populate cached env -> template structure
+        state = checkpoint.restore(args.load_state, state)
+        print(f"# restored settled state from {args.load_state}", flush=True)
+    else:
+        print(f"# settling {args.settle} steps at "
+              f"{args.scene} (dt={params.dt})", flush=True)
+        t0 = time.perf_counter()
+        for i in range(args.settle):
+            state, diag = step(state)
+            if (i + 1) % 50 == 0:
+                print(f"# settle {i+1}/{args.settle}: "
+                      f"iters={int(diag['solver_iters'])}/"
+                      f"{int(diag['div_iters'])} "
+                      f"rho_max={float(diag['density_max']):.0f} "
+                      f"({time.perf_counter()-t0:.0f}s)", flush=True)
+    if args.save_state:
+        from sph_project_tpu.io import checkpoint
+        checkpoint.save(args.save_state, state)
+        print(f"# settled state saved to {args.save_state}", flush=True)
 
     hdr = ("step | iters c/w/u/m/f | err0 cold/warm/unclmp/mid/full | "
            "near:far warm | kneg(all,near) corr |kprev|")
