@@ -86,6 +86,21 @@ def test_spatial_warm_start_matches_single_device():
     assert int(diag1["solver_iters"]) == int(diag2["solver_iters"])
 
 
+def test_spatial_adaptive_warm_matches_single_device():
+    """dfsph_warm_factor_hi under spatial decomposition: the rho_max gate is
+    a global pmax inside the sharded step (dfsph.warm_factor) — every device
+    must see the same scalar, so trajectories stay bit-identical to the
+    single-device run and the iteration counts agree."""
+    cfg = dam_cfg("dfsph")
+    cfg.config["Configuration"]["dfsphWarmStart"] = True
+    cfg.config["Configuration"]["dfsphWarmFactorHi"] = 1.0
+    diag1, diag2, s1, s2 = run_both(cfg, pair_block=64, pair_chunk=32)
+    r1, r2 = sorted_fluid_pos(s1), sorted_fluid_pos(s2)
+    np.testing.assert_array_equal(r1, r2)
+    assert float(diag2["neighbor_overflow"]) == 0
+    assert int(diag1["solver_iters"]) == int(diag2["solver_iters"])
+
+
 def test_spatial_warm_div_matches_single_device():
     """dfsph_warm_start_div under spatial decomposition: the kappa_v carry
     must ride the global resort and the shard_map segments exactly like
