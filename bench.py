@@ -239,6 +239,18 @@ class Runner:
         self.step = self._simlib._jitted_step(self.params)
         self.state = s
 
+    def load_settled(self, path):
+        """Resume from a settled-state checkpoint (tools/warm_diag.py /
+        omega_diag.py --save-state) instead of settling live. A/B-knob
+        convenience: the loaded state was settled under the CHECKPOINT's
+        knobs, so only the timed phase reflects the current ones — the
+        official protocol (driver runs, BENCH_rN) always settles live."""
+        from sph_project_tpu.io import checkpoint
+        self.fresh()
+        self.state, _ = self.step(self.state)   # populate env structure
+        self.state = checkpoint.restore(path, self.state)
+        float(self.state.t)
+
     def rebuild_step(self):
         self.step = self._simlib._jitted_step(self.params)
 
@@ -388,6 +400,11 @@ def main():
                     help="adaptive warm strength on quiescent steps "
                          "(params.dfsph_warm_factor_hi; gate "
                          "dfsph_warm_gate * density0 on carried rho_max)")
+    ap.add_argument("--load-settled", default=None,
+                    help="A/B convenience: resume the settled phase from a "
+                         "tools/*_diag.py --save-state checkpoint instead "
+                         "of settling live (labels the metric; the official "
+                         "driver protocol always settles live)")
     ap.add_argument("--omega", type=float, default=None,
                     help="density-corrector over-relaxation "
                          "(params.dfsph_omega; 1.0 = reference algorithm)")
@@ -422,6 +439,8 @@ def main():
         scene, state = load_scene(args.scene, **kw)
         workload = os.path.basename(args.scene)
     workload += apply_knobs(scene, args)
+    if args.load_settled:
+        workload += " +loaded-settle"
     params = scene.params
     settle_steps = (args.settle if args.settle is not None
                     else max(1, round(args.settle_to / params.dt)))
@@ -464,6 +483,9 @@ def main():
             if inject == "always" or (inject == "once" and attempt == 0):
                 raise RuntimeError("injected settled-phase crash (test hook)")
             done = snap_done
+            if args.load_settled:
+                r.load_settled(args.load_settled)
+                done = settle_steps
             while done < settle_steps:
                 step_n = min(50, settle_steps - done)
                 diag = r.run_steps(step_n)
