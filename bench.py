@@ -404,7 +404,15 @@ def main():
                     help="A/B convenience: resume the settled phase from a "
                          "tools/*_diag.py --save-state checkpoint instead "
                          "of settling live (labels the metric; the official "
-                         "driver protocol always settles live)")
+                         "driver protocol always settles live). CAVEAT "
+                         "(r5c, hardware-measured): only safe when the "
+                         "current knobs compile the SAME program as the "
+                         "checkpoint writer's — a different program can bin "
+                         "lattice edge-sitters into different cells than "
+                         "the restored plane-padded layout assumes, "
+                         "overflowing a plane's pad budget (sort overflow "
+                         "2810 at the headline, bench_r5c_loaded_warmhi."
+                         "log); the gate catches it and refuses the number.")
     ap.add_argument("--omega", type=float, default=None,
                     help="density-corrector over-relaxation "
                          "(params.dfsph_omega; 1.0 = reference algorithm)")
