@@ -101,6 +101,16 @@ class SimParams:
     # Scene keys: dfsphWarmFactorHi, dfsphWarmGate. Default off.
     dfsph_warm_factor_hi: float = 0.0
     dfsph_warm_gate: float = 1.03
+    # Per-particle arm of the adaptive gate: only particles moving less
+    # than this fraction of a particle diameter per step get the hi factor.
+    # The r5d 2000-step run (bench_r5d_warmhi_settle2000.log) showed the
+    # GLOBAL gate alone is insufficient at deep rest: a stale carry on one
+    # quiet-looking particle takes a full-strength kick, ejects (vel_max
+    # 73-90 at hydrostatic rest), and the ejections eventually overflow a
+    # plane's pad budget (sort overflow 10139 -> gate refusal). Fast or
+    # oscillating particles now fall back to dfsph_warm_factor locally;
+    # the bulk at rest (|v| dt << diameter) still gets the full carry.
+    dfsph_warm_quiet_cfl: float = 0.25
     # Over-relaxation (SOR) on the constant-density corrector's stiffness
     # update (round 5). At TRUE hydrostatic settle the headline scene runs
     # 10-19 density iterations per step with loop-entry error only ~1.2-1.8x

@@ -143,6 +143,9 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     om = cfg.get_cfg("dfsphOmega")
     if om is not None:
         kw["dfsph_omega"] = float(om)
+    wq = cfg.get_cfg("dfsphWarmQuietCfl")
+    if wq is not None:
+        kw["dfsph_warm_quiet_cfl"] = float(wq)
     si = cfg.get_cfg("sortIncremental")
     if si is not None:
         kw["sort_incremental"] = bool(si)

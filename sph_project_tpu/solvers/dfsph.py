@@ -189,22 +189,34 @@ def compute_density_star(p, vel, vel_slab, env, sl, params) -> jnp.ndarray:
 
 
 def warm_factor(p: ParticleState, params: SimParams) -> jnp.ndarray:
-    """This step's warm-start strength (scalar, traced).
+    """This step's warm-start strength (scalar or per-particle, traced).
 
     Static dfsph_warm_factor unless the adaptive knob is armed
-    (params.dfsph_warm_factor_hi > 0): then quiescent steps — carried
-    max fluid density within dfsph_warm_gate of rest — use the stronger
-    hi factor. See params.py for the hardware rationale; the gate closes
-    precisely during impact compression, the regime where a strong guess
-    diverged in r4g (the solver cannot correct over-expansion: star is
-    clamped >= 1, so overshoot leaves no corrective kappa behind)."""
+    (params.dfsph_warm_factor_hi > 0): then a particle gets the stronger
+    hi factor only when BOTH gates open —
+
+    - global: carried max fluid density within dfsph_warm_gate of rest
+      (closes during impact compression, the regime where a strong guess
+      diverged in r4g: the solver cannot correct over-expansion, star is
+      clamped >= 1, so overshoot leaves no corrective kappa behind);
+    - local: the particle itself moves less than dfsph_warm_quiet_cfl
+      particle diameters this step (r5d measured the global gate alone
+      letting stale carries eject individual rest-state particles —
+      see params.py).
+
+    Costs one global masked max + one elementwise speed test."""
     wf = jnp.float32(params.dfsph_warm_factor)
     if params.dfsph_warm_factor_hi > 0.0:
         fluid_i = p.material == MATERIAL_FLUID
         rho_mx = common.global_max(
             jnp.where(fluid_i, p.density, 0.0), params)
-        quiet = rho_mx <= params.dfsph_warm_gate * params.density0
-        wf = jnp.where(quiet, jnp.float32(params.dfsph_warm_factor_hi), wf)
+        quiet_g = rho_mx <= params.dfsph_warm_gate * params.density0
+        v2 = jnp.sum(p.vel * p.vel, axis=-1)
+        v_lim = (params.dfsph_warm_quiet_cfl * params.particle_diameter
+                 / params.dt)
+        quiet_i = v2 <= jnp.float32(v_lim * v_lim)
+        wf = jnp.where(quiet_g & quiet_i,
+                       jnp.float32(params.dfsph_warm_factor_hi), wf)
     return wf
 
 

@@ -231,12 +231,24 @@ def test_dfsph_adaptive_warm_factor():
     p = state.particles
     fluid = np.asarray(p.material) == 1
     quiet = p.replace(density=jnp.where(p.material == 1, 1000.0, 0.0))
-    assert float(dfsph.warm_factor(quiet, params)) == 1.0
+    wfq = np.asarray(dfsph.warm_factor(quiet, params))
+    assert (wfq == 1.0).all()          # at rest every particle gets hi
     dens = np.where(fluid, 1000.0, 0.0)
-    dens[np.argmax(fluid)] = 1100.0   # one compressed particle arms the gate
+    dens[np.argmax(fluid)] = 1100.0   # one compressed particle closes
     loud = p.replace(density=jnp.asarray(dens, jnp.float32))
-    assert float(dfsph.warm_factor(loud, params)) == \
-        params.dfsph_warm_factor
+    assert (np.asarray(dfsph.warm_factor(loud, params)) ==
+            params.dfsph_warm_factor).all()
+    # local gate: a fast particle falls back even when the global gate is
+    # open (r5d: stale carries ejected rest-state particles)
+    vel = np.zeros_like(np.asarray(p.vel))
+    fast_row = int(np.argmax(fluid))
+    vel[fast_row] = [50.0, 0.0, 0.0]
+    fastp = quiet.replace(vel=jnp.asarray(vel, jnp.float32))
+    wff = np.asarray(dfsph.warm_factor(fastp, params))
+    assert wff[fast_row] == params.dfsph_warm_factor
+    mask = np.ones(len(wff), bool)
+    mask[fast_row] = False
+    assert (wff[mask] == 1.0).all()
     # off by default: static factor regardless of density
     assert float(dfsph.warm_factor(loud, scene.params)) == \
         scene.params.dfsph_warm_factor
