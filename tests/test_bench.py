@@ -15,6 +15,7 @@ import bench  # noqa: E402
 def _args(**over):
     d = dict(verbose=False, suite_settle=2, sort_incremental=False,
              warm_start=True, cold=False, warm_div=False, warm_factor=None,
+             warm_hi=None, omega=None, load_settled=None,
              chunk=2, reps=1, allow_overflow=-1)
     d.update(over)
     return argparse.Namespace(**d)
