@@ -503,7 +503,8 @@ def main():
                           f"{int(diag.get('solver_iters', 0))}/"
                           f"{int(diag.get('div_iters', 0))} "
                           f"rho_max={float(diag['density_max']):.0f} "
-                          f"vel_max={float(diag['vel_max']):.1f}",
+                          f"vel_max={float(diag['vel_max']):.1f} "
+                          f"sort_ovf={int(diag.get('sort_overflow_acc', 0))}",
                           flush=True)
                 if done - snap_done >= 250 and done < settle_steps:
                     snap = snapshot_to_host(r.state)
