@@ -244,11 +244,20 @@ class Runner:
         omega_diag.py --save-state) instead of settling live. A/B-knob
         convenience: the loaded state was settled under the CHECKPOINT's
         knobs, so only the timed phase reflects the current ones — the
-        official protocol (driver runs, BENCH_rN) always settles live."""
+        official protocol (driver runs, BENCH_rN) always settles live.
+
+        The restored plane-padded layout came from the WRITER's compiled
+        program, whose cell binning can disagree with this config's on
+        lattice edge-sitters (the r4 cross-program lesson; measured r5c as
+        sort overflow 2810 on a knob change) — so re-run prepare(): its
+        exact-gather sort rebuilds the layout under the CURRENT program and
+        reseeds density/alpha to the same values."""
         from sph_project_tpu.io import checkpoint
         self.fresh()
         self.state, _ = self.step(self.state)   # populate env structure
-        self.state = checkpoint.restore(path, self.state)
+        s = checkpoint.restore(path, self.state)
+        self.state = self._jax.jit(
+            lambda s: self._simlib.prepare(s, self.params))(s)
         float(self.state.t)
 
     def rebuild_step(self):
