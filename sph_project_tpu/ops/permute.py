@@ -33,7 +33,16 @@ OB = 128      # output block (lanes)
 PT = 512      # DMA tile width
 SU = 4096     # VMEM span budget per block
 E_FAR = 4     # far source tiles per block (plane-crosser clusters)
-K_FIX = 2048  # sparse-fix budget for the residual stragglers
+# Sparse-fix budget for the residual stragglers. 2048 covered typical
+# settled steps, but LONG horizons burst past it: the r5f 2000-step
+# headline settle accumulated overflow from step ~950 even at full
+# quiescence (vel_max 7.6 — plane-granule cascades scatter sources into
+# more far clusters than E_FAR covers), and adaptive-warm ejection bursts
+# reached ~10k uncovered in a step. The fix is a gather+scatter of
+# k_fix rows (~7 ns/element), so 4x headroom costs ~1-2 ms/step at 1.97M
+# against a correctness cliff (uncovered slots beyond the budget are
+# ZEROED records, counted loud in overflow).
+K_FIX = 8192
 
 
 def _kernel(meta_ref, perm_ref, fmat, *out_refs, win, sem, F_pad):
