@@ -168,7 +168,7 @@ def apply_knobs(scene, args):
         scene.params = dataclasses.replace(
             scene.params, dfsph_warm_factor=args.warm_factor)
         suffix += f" wf={args.warm_factor:g}"
-    if args.warm_hi is not None:
+    if args.warm_hi is not None and args.warm_hi > 0:
         scene.params = dataclasses.replace(
             scene.params, dfsph_warm_factor_hi=args.warm_hi)
         suffix += f" wfhi={args.warm_hi:g}"
@@ -405,10 +405,14 @@ def main():
                          "closer to the previous step's converged stiffness "
                          "and can drop a whole iteration at the same exit "
                          "tolerance")
-    ap.add_argument("--warm-hi", type=float, default=None,
+    ap.add_argument("--warm-hi", type=float, default=1.0,
                     help="adaptive warm strength on quiescent steps "
-                         "(params.dfsph_warm_factor_hi; gate "
-                         "dfsph_warm_gate * density0 on carried rho_max)")
+                         "(params.dfsph_warm_factor_hi; double-gated on "
+                         "carried rho_max + per-particle CFL-quiet). "
+                         "Default 1.0: holds the hydrostatic headline at "
+                         "2-4 corrector iterations where the 0.5 carry "
+                         "crawls at 9-14 (r5e/r5g). 0 disables (plain "
+                         "dfsph_warm_factor carry).")
     ap.add_argument("--load-settled", default=None,
                     help="A/B convenience: resume the settled phase from a "
                          "tools/*_diag.py --save-state checkpoint instead "

@@ -124,6 +124,21 @@ class SimParams:
     # solver converges in ~1 iteration everywhere measured).
     # Scene key: dfsphOmega.
     dfsph_omega: float = 1.0
+    # CFL speed cap on fluid advection (round 5, engineering guard; 0
+    # disables). The dam-break slam chaotically fires runaway particles —
+    # the DEFAULT algorithm measured a 2562 m/s fluid particle at the
+    # headline slam (bench_r5f_warm05_settle2000.log, step 300), 77x the
+    # per-step CFL bound and ~500x the physical impact speed sqrt(2gh).
+    # Such particles are numerically meaningless under a fixed dt, and
+    # their flight through sparse space blows the pair engine's window
+    # unions (93,985 truncated candidates in one step, r5g). The cap
+    # rescales any fluid velocity above vel_cap_cfl particle diameters
+    # per step at position-update time; diagnostics count the particles
+    # at the cap (vel_capped), so it is never silent. DEVIATION from the
+    # reference (base_solver.py:651-666 advects uncapped) — affects only
+    # already-CFL-invalid outliers; the reference's own GGUI-era runs
+    # simply tolerated the corruption invisibly. Scene key: velCapCfl.
+    vel_cap_cfl: float = 1.0
     pcisph_max_iter: int = 1000
     pcisph_eta: float = 1e-3
     iisph_max_iter: int = 20

@@ -146,6 +146,9 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
     wq = cfg.get_cfg("dfsphWarmQuietCfl")
     if wq is not None:
         kw["dfsph_warm_quiet_cfl"] = float(wq)
+    vc = cfg.get_cfg("velCapCfl")
+    if vc is not None:
+        kw["vel_cap_cfl"] = float(vc)
     si = cfg.get_cfg("sortIncremental")
     if si is not None:
         kw["sort_incremental"] = bool(si)

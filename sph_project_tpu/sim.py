@@ -374,6 +374,13 @@ class Plumbing:
                 jnp.where(fluid, p.density, 0.0), params),
             vel_max=common.global_max(
                 jnp.where(fluid[:, None], jnp.abs(p.vel), 0.0), params),
+            # particles sitting AT the CFL speed cap (vel_capped > 0 means
+            # the cap rescaled runaways this step — never silent)
+            vel_capped=(common.global_sum(
+                fluid & (jnp.sum(p.vel * p.vel, axis=-1) >= (0.999 * (
+                    params.vel_cap_cfl * params.particle_diameter
+                    / params.dt)) ** 2), params).astype(jnp.int32)
+                if params.vel_cap_cfl > 0 else jnp.int32(0)),
             neighbor_overflow=common.global_sum(env.overflow, params).astype(
                 jnp.int32),
         )

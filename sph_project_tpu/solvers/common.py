@@ -566,8 +566,20 @@ def update_fluid_position(p: ParticleState, rigid: RigidState,
                           params: SimParams) -> ParticleState:
     """Advance fluid positions; emitter particles (non-fluid slots of a fluid
     object above g_upper) advect at constant velocity and flip to fluid when
-    they sink below g_upper (base_solver.py:651-666)."""
+    they sink below g_upper (base_solver.py:651-666).
+
+    Fluid velocities above the CFL cap (params.vel_cap_cfl diameters/step)
+    are rescaled first and stored — see params.py for the measured runaway
+    rationale; diagnostics count particles at the cap (vel_capped)."""
     fluid = p.material == MATERIAL_FLUID
+    vel = p.vel
+    if params.vel_cap_cfl > 0:
+        cap = jnp.float32(
+            params.vel_cap_cfl * params.particle_diameter / params.dt)
+        sp2 = jnp.sum(vel * vel, axis=-1, keepdims=True)
+        scale = jnp.where(sp2 > cap * cap,
+                          cap / jnp.sqrt(jnp.maximum(sp2, 1e-30)), 1.0)
+        vel = jnp.where(fluid[:, None], vel * scale, vel)
     obj = jnp.clip(p.object_id, 0, params.max_objects - 1)
     obj_mat = object_gather({"m": rigid.obj_material}, obj,
                             params.max_objects)["m"]
@@ -575,10 +587,10 @@ def update_fluid_position(p: ParticleState, rigid: RigidState,
     emitter = (~fluid) & (p.pos[:, 1] > params.g_upper) & obj_is_fluid
 
     move = (fluid | emitter)[:, None]
-    new_pos = jnp.where(move, p.pos + params.dt * p.vel, p.pos)
+    new_pos = jnp.where(move, p.pos + params.dt * vel, p.pos)
     became_fluid = emitter & (new_pos[:, 1] <= params.g_upper)
     new_mat = jnp.where(became_fluid, MATERIAL_FLUID, p.material)
-    return p.replace(pos=new_pos, material=new_mat)
+    return p.replace(pos=new_pos, vel=vel, material=new_mat)
 
 
 def prepare_emitter(p: ParticleState, params: SimParams) -> ParticleState:

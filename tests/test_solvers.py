@@ -277,6 +277,38 @@ def test_dfsph_adaptive_warm_factor():
         0.15 * max(d_c["density_max"], 1.0)
 
 
+def test_vel_cap_clamps_runaways_only():
+    """The CFL speed cap (params.vel_cap_cfl) rescales only fluid particles
+    beyond the cap at position-update time (measured 2562 m/s runaways at
+    the headline slam, bench_r5f_warm05_settle2000.log) and stores the
+    capped velocity; slower particles are untouched bit-for-bit."""
+    from sph_project_tpu.solvers import common
+
+    scene, state = load_scene(config=dam_break_cfg("dfsph", dt=5e-4), **FAST)
+    params = scene.params
+    assert params.vel_cap_cfl == 1.0   # guard on by default
+    cap = params.vel_cap_cfl * params.particle_diameter / params.dt
+    p = state.particles
+    fluid = np.asarray(p.material) == 1
+    rows = np.flatnonzero(fluid)[:2]
+    vel = np.zeros_like(np.asarray(p.vel))
+    vel[rows[0]] = [10.0 * cap, 0.0, 0.0]        # runaway
+    vel[rows[1]] = [0.0, 0.3 * cap, 0.0]         # healthy
+    p = p.replace(vel=jnp.asarray(vel, jnp.float32))
+    p2 = common.update_fluid_position(p, state.rigid, params)
+    sp = np.linalg.norm(np.asarray(p2.vel), axis=1)
+    np.testing.assert_allclose(sp[rows[0]], cap, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(p2.vel)[rows[1]],
+                                  vel[rows[1]])
+    # moved by exactly cap*dt, not 10*cap*dt
+    d = np.asarray(p2.pos)[rows[0]] - np.asarray(state.particles.pos)[rows[0]]
+    np.testing.assert_allclose(np.linalg.norm(d), cap * params.dt, rtol=1e-5)
+    # velCapCfl=0 disables the guard
+    p0 = dataclasses.replace(params, vel_cap_cfl=0.0)
+    p3 = common.update_fluid_position(p, state.rigid, p0)
+    np.testing.assert_array_equal(np.asarray(p3.vel), vel)
+
+
 def test_wcsph_eos_and_density_clamp():
     _, state, _ = settled("wcsph")
     p = state.particles
