@@ -329,8 +329,18 @@ def load_scene(scene_file: str | None = None, config: SimConfig | None = None,
                                        params, output_mask=out_mask,
                                        round_to=64)
         from .ops.pair_dma import estimate_su
+        # margin 3.5 (was 2.2): the estimate runs on the INITIAL state, and
+        # post-collapse geometry demands far more — the settled 1.23M
+        # headline checkpoint measured 19456 lanes vs the initial-state
+        # estimate's 6284 (3.1x; the compact column becomes a wide shallow
+        # pool whose superblocks mix fluid, surface and walls). The shipped
+        # 2.2 margin truncated 54-88k candidates in burst steps at deep
+        # settle (bench_r5h/r5i logs). SU is a VMEM reservation, not a DMA
+        # cost — superblocks move only their demanded lanes — so the wider
+        # budget is ~1-2 MB of VMEM, and the runtime overflow counter still
+        # guards whatever even 3.5x does not cover.
         su = estimate_su(np.concatenate([all_pos, pad]), act, params,
-                         output_mask=out_mask)
+                         margin=3.5, output_mask=out_mask)
         params = make_params(n_particles, pair_slab=S, pair_slab_big=S_big,
                              pair_dma_su=su, **kw)
 
