@@ -60,10 +60,14 @@ def test_physics_gates_bands():
     fast = {"vel_max": 40.0, "density_avg": 820.0}
     assert any("diameter" in v for v in bench.physics_gates(fast, P)["violations"])
 
-    # density average outside the V0=0.8 lattice band
-    dense = {"vel_max": 5.0, "density_avg": 990.0}
+    # density average inside the healthy [0.72, 1.01] band at BOTH measured
+    # regimes (mid-fall ~0.83, hydrostatic settle ~0.94 — r5j)
+    settled = {"vel_max": 5.0, "density_avg": 944.0}
+    assert bench.physics_gates(settled, P)["violations"] == []
+    # ... and outside it for the corruption modes the gate exists for
+    blowup = {"vel_max": 5.0, "density_avg": 1020.0}
     assert any("density_avg" in v
-               for v in bench.physics_gates(dense, P)["violations"])
+               for v in bench.physics_gates(blowup, P)["violations"])
     thin = {"vel_max": 5.0, "density_avg": 600.0}
     assert any("density_avg" in v
                for v in bench.physics_gates(thin, P)["violations"])
